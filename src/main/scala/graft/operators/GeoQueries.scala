@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.core.{Bbs, PortableHash, TileIndex}
+import graft.plans.TileId
+import graft.sources.ImageTable
+
+/** The geospatial operator suite over the image+caption table: first-match
+  * tile assignment (the reference's chunk generator semantics), per-tile
+  * manifest aggregation, the tile-metadata broadcast join, cell-indexed
+  * point-in-polygon, exact kNN, and the salted skew aggregation.
+  */
+object GeoQueries {
+
+  lazy val rows = Bbs.parse(Bbs.DefaultBbs)
+  lazy val index = new TileIndex(Bbs.expand(rows))
+
+  private def img(s: SparkSession, dir: String): DataFrame = ImageTable.df(s, dir)
+
+  /** tile id column via the native first-match expression. */
+  def tileCol = TileId.point(col("lon"), col("lat"), index).cast("long")
+
+  private val duckTile = Bbs.firstMatchPointSql(
+    rows, "CAST(lon AS BIGINT)", "CAST(lat AS BIGINT)", Bbs.duckdbDiv)
+  private def fromImg = s"FROM ${ImageTable.duckSql()}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("g_geotag",
+      s"""SELECT image_id, CAST(lon AS BIGINT) AS lon, CAST(lat AS BIGINT) AS lat,
+         |  phash, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, fmt, caption
+         |$fromImg ORDER BY image_id""".stripMargin) { (s, dir) =>
+      img(s, dir).select(col("image_id"), col("lon").cast("long"), col("lat").cast("long"),
+        col("phash"), col("w").cast("long"), col("h").cast("long"), col("fmt"), col("caption"))
+        .orderBy("image_id")
+    },
+
+    QueryDef.sql("g_tile_assign",
+      s"""SELECT image_id, CAST(($duckTile) AS BIGINT) AS tile
+         |$fromImg ORDER BY image_id""".stripMargin) { (s, dir) =>
+      img(s, dir).select(col("image_id"), tileCol.as("tile")).orderBy("image_id")
+    },
+
+    QueryDef.sql("g_tile_counts",
+      s"""SELECT tile, COUNT(*) AS cnt, MIN(image_id) AS first_img
+         |FROM (SELECT image_id, CAST(($duckTile) AS BIGINT) AS tile $fromImg) t
+         |GROUP BY tile ORDER BY tile""".stripMargin) { (s, dir) =>
+      img(s, dir).select(col("image_id"), tileCol.as("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("cnt"), min("image_id").as("first_img"))
+        .orderBy("tile")
+    },
+
+    QueryDef.sql("g_bbox_agg",
+      s"""SELECT CAST(MIN(lon) AS BIGINT) AS minlon, CAST(MIN(lat) AS BIGINT) AS minlat,
+         |  CAST(MAX(lon) AS BIGINT) AS maxlon, CAST(MAX(lat) AS BIGINT) AS maxlat,
+         |  COUNT(*) AS n $fromImg""".stripMargin) { (s, dir) =>
+      img(s, dir).agg(
+        min("lon").cast("long").as("minlon"), min("lat").cast("long").as("minlat"),
+        max("lon").cast("long").as("maxlon"), max("lat").cast("long").as("maxlat"),
+        count(lit(1)).as("n"))
+    },
+
+    QueryDef.sql("g_tile_join", {
+      val b = Bbs.tileBoundsSql(rows, "tile", Bbs.duckdbDiv)
+        .map { case (n, e) => s"CAST(($e) AS BIGINT) AS $n" }.mkString(",\n  ")
+      s"""SELECT image_id, tile, $b
+         |FROM (SELECT image_id, CAST(($duckTile) AS BIGINT) AS tile $fromImg) t
+         |WHERE tile < ${index.size - 1} ORDER BY image_id""".stripMargin
+    }) { (s, dir) =>
+      // broadcast tile-metadata join: the small dim side is the bounds list
+      val meta = s.createDataFrame(
+        index.bounds.zipWithIndex.map { case (bb, i) =>
+          (i.toLong, bb.minLon.toLong, bb.minLat.toLong, bb.maxLon.toLong, bb.maxLat.toLong)
+        }.toSeq).toDF("tile", "minlon", "minlat", "maxlon", "maxlat")
+      img(s, dir).select(col("image_id"), tileCol.as("tile"))
+        .filter(col("tile") < index.size - 1)
+        .join(broadcast(meta), Seq("tile"))
+        .select("image_id", "tile", "minlon", "minlat", "maxlon", "maxlat")
+        .orderBy("image_id")
+    },
+
+    QueryDef.sql("g_pip",
+      s"""WITH ${ImageTable.duckCte()}
+         |SELECT image_id, mask FROM ${Pip.maskDuckSql()} m
+         |ORDER BY image_id""".stripMargin) { (s, dir) =>
+      img(s, dir)
+        .select(col("image_id"), Pip.mask(col("lon"), col("lat"), Pip.fixtureSet).as("mask"))
+        .orderBy("image_id")
+    },
+
+    QueryDef.sql("g_knn",
+      s"""WITH pts AS (SELECT doc_id AS id, CAST(lon AS DOUBLE) AS x, CAST(lat AS DOUBLE) AS y
+         |             ${fromImg}),
+         |q AS (SELECT * FROM pts WHERE id % 50 = 0),
+         |r AS (SELECT q.id AS qid, p.id AS pid,
+         |        row_number() OVER (PARTITION BY q.id
+         |          ORDER BY (q.x-p.x)*(q.x-p.x)+(q.y-p.y)*(q.y-p.y), p.id) AS rk
+         |      FROM q JOIN pts p ON p.id <> q.id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val pts = img(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
+      val qs = pts.filter(col("id") % 50 === 0)
+      Knn(pts, qs, k = 3, cellSize = 64000000L)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"))
+        .orderBy("qid", "rk")
+    },
+
+    QueryDef.sql("g_skew_agg",
+      s"""SELECT tile, COUNT(*) AS cnt, CAST(SUM(phash % 1000000) AS BIGINT) AS s
+         |FROM (SELECT CAST(($duckTile) AS BIGINT) AS tile, phash FROM ${ImageTable.skewedDuckSql()}) t
+         |GROUP BY tile ORDER BY tile""".stripMargin) { (s, dir) =>
+      // salted two-phase aggregation: partial agg on (tile, salt) defuses the
+      // dense-metro hot keys, final agg on tile alone
+      val salted = ImageTable.skewed(img(s, dir))
+        .select(tileCol.as("tile"), col("phash"),
+          (ImageTable.h60(col("image_id")) % 16).as("salt"))
+      salted
+        .groupBy("tile", "salt")
+        .agg(count(lit(1)).as("pc"), sum(col("phash") % 1000000).as("ps"))
+        .groupBy("tile")
+        .agg(sum("pc").as("cnt"), sum("ps").as("s"))
+        .orderBy("tile")
+    }
+  )
+}

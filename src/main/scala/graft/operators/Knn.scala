@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Exact k-nearest-neighbour join on fixed-point geotags.
+  *
+  * Strategy (two set-based passes, no driver loop):
+  *   1. bucket points on a uniform grid; each query joins only the 3x3
+  *      block of cells around it and takes a window top-k by exact distance.
+  *      A query is FINAL if its k-th distance is within the guaranteed
+  *      radius (distance from the query to the edge of its 3x3 block) —
+  *      no point outside the block can be closer.
+  *   2. the (rare) unresolved queries fall back to a brute-force join.
+  *
+  * Distances are (dx*dx + dy*dy) in DOUBLE: the operands are exact int32s,
+  * so the product/sum are IEEE-deterministic and identical in any engine —
+  * ties break on neighbour id. At scale, pass 1 is a co-partitioned
+  * shuffle join on cell ids and pass 2 is empty for any sane cell size
+  * (size ~ sqrt(area*k/n) keeps candidates per block O(k)).
+  */
+object Knn {
+
+  def apply(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): DataFrame = {
+    val cell = lit(cellSize)
+    // floor(a / cell) on non-negative exact-int doubles is provably exact here
+    def cx(c: Column) = floor((c.cast("long") + 1800000000L) / cell)
+    def cy(c: Column) = floor((c.cast("long") + 900000000L) / cell)
+
+    val pts = points.select(col("id").as("pid"), col("lon").as("plon"), col("lat").as("plat"))
+      .withColumn("pcx", cx(col("plon"))).withColumn("pcy", cy(col("plat")))
+    val qs = queries.select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+      .withColumn("qcx", cx(col("qlon"))).withColumn("qcy", cy(col("qlat")))
+
+    val dist = (col("qlon").cast("double") - col("plon")) * (col("qlon").cast("double") - col("plon")) +
+      (col("qlat").cast("double") - col("plat")) * (col("qlat").cast("double") - col("plat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("pid"))
+
+    // pass 1: 3x3 block join
+    val local = qs
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("jcx", col("qcx") + col("dx"))
+      .withColumn("jcy", col("qcy") + col("dy"))
+      .join(pts, col("jcx") === col("pcx") && col("jcy") === col("pcy") && col("qid") =!= col("pid"))
+      .withColumn("d", dist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+
+    // guaranteed radius: distance from query to its 3x3 block edge
+    val margin =
+      least(
+        col("qlon").cast("long") + 1800000000L - (col("qcx") - 1) * cell,
+        (col("qcx") + 2) * cell - (col("qlon").cast("long") + 1800000000L),
+        col("qlat").cast("long") + 900000000L - (col("qcy") - 1) * cell,
+        (col("qcy") + 2) * cell - (col("qlat").cast("long") + 900000000L)).cast("double")
+
+    val perQuery = local.groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
+      .join(qs, Seq("qid"))
+      .withColumn("final", col("n") === k && col("kth") <= margin * margin)
+
+    val resolved = local.join(perQuery.filter(col("final")).select("qid"), Seq("qid"), "left_semi")
+
+    // pass 2: brute force for queries pass 1 could not certify
+    val unresolvedQs = qs.join(
+      perQuery.filter(col("final")).select("qid"), Seq("qid"), "left_anti")
+    val brute = unresolvedQs
+      .join(pts, col("qid") =!= col("pid"))
+      .withColumn("d", dist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+
+    resolved.select("qid", "rk", "pid")
+      .unionByName(brute.select("qid", "rk", "pid"))
+  }
+}
