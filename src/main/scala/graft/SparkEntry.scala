@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    operators.GeoQueries.defs
+    operators.GeoQueries.defs ++
+      operators.DocQueries.defs ++
+      operators.EmbedQueries.defs ++
+      operators.RelationalQueries.defs ++
+      operators.MultimodalQueries.defs ++
+      streaming.StreamQueries.defs
 
   /** Flagship: first-match tile assignment + per-tile manifest counts on the
     * derived image+caption table (driver smoke-checks rows > 0).

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.core.PortableHash
+
+/** Training-data pipeline operators over the `documents` table: exact and
+  * near-duplicate detection (minhash-LSH, simhash, n-gram Jaccard), language
+  * ID, quality scoring, token counting and set fingerprinting. Every
+  * operator has an exact-integer formulation so the DuckDB oracle matches
+  * bit-for-bit (no float comparisons anywhere).
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Tokenization shared by both engines: maximal non-space runs. */
+  private val wordsExpr = "regexp_extract_all(text, '\\\\S+', 0)"
+  private val duckWords = "regexp_extract_all(text, '\\S+')"
+
+  private def h60word(col: String) = // word hash bounded to < 2^30 for overflow-free minhash
+    s"(${PortableHash.sparkSql(col)} % 1000000007)"
+  private def duckH60word(col: String) =
+    s"(${PortableHash.duckSql(col)} % 1000000007)"
+
+  /** distinct (doc_id, word) pairs. */
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
+      .distinct()
+
+  private val duckDocWords =
+    s"(SELECT DISTINCT doc_id, unnest($duckWords) AS word FROM documents)"
+
+  private val MinhashSeeds: Seq[(Long, Long)] =
+    (0 until 8).map(j => (2L * j + 3, 12345L + 777L * j))
+  private val P = 1000000007L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // exact dedup over planted duplicates (the source table has none):
+    // rows with doc_id % 5 == 0 are re-inserted under doc_id + 10^7
+    QueryDef.sql("d_dedup_exact",
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |)
+         |SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n
+         |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
+         |ORDER BY text_hash""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      d.unionByName(planted)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("text_hash")
+    },
+
+    QueryDef.sql("d_tokcount",
+      s"""SELECT doc_id,
+         |  CAST(len($duckWords) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(expr(wordsExpr)).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring with pure integer arithmetic (no ratio division)
+    QueryDef.sql("d_quality",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS BIGINT) AS n_stop,
+         |  CAST(3 * len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+         |     - len(regexp_extract_all(text, '[.!?,;:]'))
+         |     + LEAST(length(text), 500) AS BIGINT) AS score
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val stop = size(expr("regexp_extract_all(text, '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)")).cast("long")
+      val punct = size(expr("regexp_extract_all(text, '[.!?,;:]', 0)")).cast("long")
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        punct.as("n_punct"), stop.as("n_stop"),
+        (lit(3) * stop - punct + least(length(col("text")).cast("long"), lit(500L))).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // language-ID heuristic: argmax of per-language stopword hit counts
+    // (fixed priority on ties: en > de > fr > es > zh > unk)
+    QueryDef.sql("d_langid", {
+      val langs = Seq(
+        "en" -> "the|a|of|and|to|is",
+        "de" -> "der|die|das|und|ist",
+        "fr" -> "le|la|les|et|est",
+        "es" -> "el|la|los|y|es",
+        "zh" -> "de|shi|le|zai|he")
+      val cnt = langs.map { case (l, ws) =>
+        s"len(regexp_extract_all(text, '\\b($ws)\\b')) AS c_$l" }.mkString(", ")
+      val best = "GREATEST(c_en, c_de, c_fr, c_es, c_zh)"
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $best = 0 THEN 'unk'
+         |       WHEN c_en = $best THEN 'en' WHEN c_de = $best THEN 'de'
+         |       WHEN c_fr = $best THEN 'fr' WHEN c_es = $best THEN 'es'
+         |       ELSE 'zh' END AS guess
+         |FROM (SELECT doc_id, lang, $cnt FROM documents) t ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val langs = Seq(
+        "en" -> "the|a|of|and|to|is",
+        "de" -> "der|die|das|und|ist",
+        "fr" -> "le|la|les|et|est",
+        "es" -> "el|la|los|y|es",
+        "zh" -> "de|shi|le|zai|he")
+      val withCounts = langs.foldLeft(docs(s, dir)) { case (df, (l, ws)) =>
+        df.withColumn(s"c_$l",
+          size(expr(s"regexp_extract_all(text, '\\\\b($ws)\\\\b', 0)")))
+      }
+      val best = greatest(langs.map(l => col(s"c_${l._1}")): _*)
+      withCounts.select(col("doc_id"), col("lang"),
+        when(best === 0, "unk")
+          .when(col("c_en") === best, "en").when(col("c_de") === best, "de")
+          .when(col("c_fr") === best, "fr").when(col("c_es") === best, "es")
+          .otherwise("zh").as("guess"))
+        .orderBy("doc_id")
+    },
+
+    // document fingerprint: order-free xor over the distinct word-hash set
+    QueryDef.sql("d_fingerprint",
+      s"""SELECT doc_id, COUNT(*) AS n_distinct_words,
+         |  CAST(bit_xor(${duckH60word("word")}) AS BIGINT) AS fp
+         |FROM $duckDocWords w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docWords(s, dir)
+        .select(col("doc_id"), expr(h60word("word")).as("hw"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_words"), expr("bit_xor(hw)").as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // simhash (16-bit over the distinct word set)
+    QueryDef.sql("d_simhash", {
+      val bits = (0 until 16).map { b =>
+        s"CASE WHEN SUM(CASE WHEN (hw >> $b) % 2 = 1 THEN 1 ELSE -1 END) >= 0 THEN ${1 << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, ${duckH60word("word")} AS hw FROM $duckDocWords w) t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val hw = docWords(s, dir).select(col("doc_id"), expr(h60word("word")).as("hw"))
+      val bitSums = (0 until 16).map { b =>
+        sum(when(shiftright(col("hw"), b) % 2 === 1, 1).otherwise(-1)).as(s"s_$b")
+      }
+      val sim = (0 until 16).map { b =>
+        when(col(s"s_$b") >= 0, 1L << b).otherwise(0L)
+      }.reduce(_ + _)
+      hw.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sim.cast("long").as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // minhash + LSH banding: 8 hashes, 4 bands of 2 -> candidate pairs
+    QueryDef.sql("d_minhash_lsh", {
+      val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+        s"MIN(($a * hw + $b) % $P) AS m$j" }.mkString(", ")
+      val bands = (0 until 4).map { bd =>
+        s"SELECT doc_id, '$bd:' || m${2 * bd} || ':' || m${2 * bd + 1} AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM $duckDocWords t),
+         |sig AS (SELECT doc_id, $mins FROM w GROUP BY doc_id),
+         |b AS ($bands)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin
+    }) { (s, dir) =>
+      val w = docWords(s, dir).select(col("doc_id"), expr(h60word("word")).as("hw"))
+      val sig = w.groupBy("doc_id").agg(
+        MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+          min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
+        }.head,
+        MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+          min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
+        }.tail: _*)
+      val bands = (0 until 4).map { bd =>
+        sig.select(col("doc_id"),
+          concat(lit(s"$bd:"), col(s"m${2 * bd}").cast("string"), lit(":"),
+            col(s"m${2 * bd + 1}").cast("string")).as("bucket"))
+      }.reduce(_ unionByName _)
+      bands.as("x").join(bands.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .orderBy("a", "b")
+    },
+
+    // n-gram (word-set) Jaccard near-dup: pairs with J >= 0.5, integer-exact
+    // predicate 3*|inter| >= |A| + |B|; restricted to a 1-in-10 doc subset
+    QueryDef.sql("d_jaccard",
+      s"""WITH w AS (SELECT doc_id, word FROM $duckDocWords t WHERE doc_id % 10 = 0),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+         |  FROM w x JOIN w y ON x.word = y.word AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, i, sa.n AS na, sb.n AS nb
+         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE 3 * i >= sa.n + sb.n
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val w = docWords(s, dir).filter(col("doc_id") % 10 === 0)
+      val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = w.as("x").join(w.as("y"),
+          col("x.word") === col("y.word") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
+        .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+        .filter(lit(3) * col("i") >= col("na") + col("nb"))
+        .select("a", "b", "i", "na", "nb")
+        .orderBy("a", "b")
+    }
+  )
+}

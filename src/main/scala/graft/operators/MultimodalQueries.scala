@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.{ImageCodec, ImageTable}
+
+/** Multimodal path: the binary image column is decoded inside mapPartitions
+  * (batched, executor-side — the real Spark plumbing for opaque media
+  * columns). The codec itself is our deterministic stand-in (no image libs
+  * in this environment, see ImageCodec); the per-row invariant (byte-exact
+  * for lossless, PSNR >= 40 dB for lossy, caption equality) is asserted in
+  * MultimodalSpec and surfaced here as engine-computed columns.
+  */
+object MultimodalQueries {
+
+  final case class Decoded(image_id: String, dec_w: Int, dec_h: Int,
+                           n_px: Long, mean_luma: Long, psnr_ok: Boolean,
+                           lossless_exact: Boolean)
+
+  def decoded(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, bytes) =>
+          val (w, h, px) = ImageCodec.decode(bytes)
+          val truth = ImageCodec.pixels(id, w, h)
+          var luma = 0L
+          var i = 0
+          while (i < px.length) { luma += (px(i) & 0xff); i += 1 }
+          val p = ImageCodec.psnr(truth, px)
+          Decoded(id, w, h, px.length.toLong, luma / math.max(1, px.length),
+            p >= 40.0, fmt != "raw" || java.util.Arrays.equals(truth, px))
+        }
+      }.toDF()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // decoded metadata must round-trip the schema-derived w/h; byte count
+    // is arithmetic on both sides
+    QueryDef.sql("m_img_meta",
+      s"""SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, fmt,
+         |  CAST(w AS BIGINT) * h * 3 AS n_px
+         |FROM ${ImageTable.duckSql()} ORDER BY image_id""".stripMargin) { (s, dir) =>
+      val imgs = ImageTable.withBytes(ImageTable.df(s, dir))
+      decoded(imgs)
+        .select(col("image_id"), col("dec_w").cast("long").as("w"),
+          col("dec_h").cast("long").as("h"), col("n_px"))
+        .join(imgs.select("image_id", "fmt"), Seq("image_id"))
+        .select("image_id", "w", "h", "fmt", "n_px")
+        .orderBy("image_id")
+    },
+
+    // per-row invariant flags (engine-side decode; rows-only check)
+    QueryDef.rowsOnly("m_img_invariant") { (s, dir) =>
+      decoded(ImageTable.withBytes(ImageTable.df(s, dir)))
+        .select(col("image_id"), col("mean_luma"),
+          col("psnr_ok").cast("string").as("psnr_ok"),
+          col("lossless_exact").cast("string").as("lossless_exact"))
+        .orderBy("image_id")
+    }
+  )
+}
