@@ -15,6 +15,7 @@ object SparkEntry {
       operators.EmbedQueries.defs ++
       operators.RelationalQueries.defs ++
       operators.MultimodalQueries.defs ++
+      operators.OmaQueries.defs ++
       streaming.StreamQueries.defs
 
   /** Flagship: first-match tile assignment + per-tile manifest counts on the

@@ -1,0 +1,193 @@
+package graft.oma
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.{Bbox, Bbs, Geo, TileIndex}
+
+/** Steps 2+3 over the reunified element stream: first-match tile assignment
+  * (ChunkGenerator.java:549-574 — the two-level prechunk detour is replaced
+  * by Spark's shuffle; the ASSIGNMENT is identical), type classification and
+  * block/slice grouping (TypeAnalysis.java:399-637), and the final .oma
+  * container write. At fixture scale the single sequential file is built on
+  * the driver from the collected, ordered rows; at 100 TB the same rows
+  * stream to per-tile part files through the lineage layer instead.
+  */
+object OmaPipeline {
+
+  final case class ClassifiedRow(
+      kindRank: Int, tile: Int, subPass: Int,
+      outKind: String, blockIdx: Int, sliceOrder: Int, sliceValue: String,
+      seq: Long,
+      lon: Array[Int], lat: Array[Int],
+      holesLon: Array[Array[Int]], holesLat: Array[Array[Int]],
+      tags: Map[String, String], members: Array[BackLink], meta: Meta)
+
+  private val Marker = 0x7f000000L
+
+  /** step-2 sentinel collapse: any vertex with lon >= 0x7f000000 becomes
+    * (MAX_VALUE, MAX_VALUE) — the check is on lon only, like the reference.
+    */
+  def collapse(lon: Array[Int], lat: Array[Int]): Unit = {
+    var i = 0
+    while (i < lon.length) {
+      if (lon(i) >= Marker) { lon(i) = Int.MaxValue; lat(i) = Int.MaxValue }
+      i += 1
+    }
+  }
+
+  def tileOf(index: TileIndex, kind: String,
+             lon: Array[Int], lat: Array[Int],
+             hLon: Array[Array[Int]], hLat: Array[Array[Int]]): Int = kind match {
+    case "N" => index.tileOfPoint(lon(0), lat(0))
+    case "C" => index.size
+    case _ =>
+      if (lon.isEmpty && hLon.isEmpty) index.size
+      else {
+        var mnLo = Int.MaxValue; var mnLa = Int.MaxValue
+        var mxLo = Int.MinValue; var mxLa = Int.MinValue
+        def acc(x: Int, y: Int): Unit = {
+          if (x < mnLo) mnLo = x; if (x > mxLo) mxLo = x
+          if (y < mnLa) mnLa = y; if (y > mxLa) mxLa = y
+        }
+        var i = 0
+        while (i < lon.length) { acc(lon(i), lat(i)); i += 1 }
+        var k = 0
+        while (k < hLon.length) {
+          var j = 0
+          while (j < hLon(k).length) { acc(hLon(k)(j), hLat(k)(j)); j += 1 }
+          k += 1
+        }
+        index.tileOfRect(Bbox(mnLo, mnLa, mxLo, mxLa))
+      }
+  }
+
+  /** classify one tiled element into 0..n ClassifiedRows (step 3). */
+  def classifyElement(cfg: TypeConfig, oneElement: Boolean,
+                      e: El, tile: Int): Seq[ClassifiedRow] = {
+    def rows(outKind: Char, subPass: Int, cls: Classified,
+             lon: Array[Int], lat: Array[Int],
+             hLon: Array[Array[Int]], hLat: Array[Array[Int]]): Seq[ClassifiedRow] = {
+      val keys = cfg.keysFor(outKind)
+      val values = cfg.valuesFor(outKind)
+      val kindRank = e.kind match { case "N" => 0; case "W" => 1; case "A" => 2; case "C" => 3 }
+      cls.blocks.map { j =>
+        val (sliceOrder, sliceValue) =
+          if (j == keys.length) (0, "")
+          else {
+            val v = cls.finalTags.getOrElse(keys(j), null)
+            val idx = values(j).indexOf(v)
+            if (idx >= 0) (idx, v) else (values(j).length, "")
+          }
+        ClassifiedRow(kindRank, tile, subPass, outKind.toString, j, sliceOrder, sliceValue,
+          e.seq, lon, lat, hLon, hLat, cls.finalTags, e.members, e.meta)
+      }
+    }
+
+    e.kind match {
+      case "N" =>
+        rows('N', 0, Classifier.classify(cfg, 'N', split = false, closed = false, e.tags, oneElement),
+          e.lon, e.lat, e.holesLon, e.holesLat)
+      case "C" =>
+        rows('C', 0, Classifier.classify(cfg, 'C', split = false, closed = false, e.tags, oneElement),
+          e.lon, e.lat, e.holesLon, e.holesLat)
+      case "A" =>
+        rows('A', 0, Classifier.classify(cfg, 'A', split = false, closed = false, e.tags, oneElement),
+          e.lon, e.lat, e.holesLon, e.holesLat)
+      case "W" =>
+        val closed = Geo.isClosed(e.lon, e.lat)
+        val pass1 = Classifier.classify(cfg, 'W', split = true, closed = closed, e.tags, oneElement)
+        // matched-as-area entries become Areas (last vertex dropped, no holes)
+        val asArea = rows('A', 0, pass1, e.lon.dropRight(1), e.lat.dropRight(1),
+          Array.empty, Array.empty)
+        val leftovers =
+          if (!pass1.toSplit) Seq.empty
+          else {
+            // re-analysis of the split stream as a W chunk (split = false);
+            // the way re-enters with the tag state it had when written to
+            // the split stream (earlier lifecycle rewrites already applied)
+            val pass2 = Classifier.classify(cfg, 'W', split = false, closed = closed,
+              pass1.splitTags, oneElement)
+            rows('W', 1, pass2, e.lon, e.lat, e.holesLon, e.holesLat)
+          }
+        asArea ++ leftovers
+    }
+  }
+
+  final case class Result(bytes: Array[Byte], parsed: OmaFile)
+
+  /** End-to-end: parse -> reunify -> tile -> classify -> write. */
+  def run(spark: SparkSession, xml: String, bbsText: String, typeText: String,
+          features: Int, zip: Boolean, oneElement: Boolean): Result = {
+    val cfg = TypeConfig.parse(typeText)
+    val input = OsmXml.parse(xml)
+    val (bboxOpt, els) = ReunifySpark.reunify(spark, input)
+    val inputBounds = bboxOpt.getOrElse(Bbox.WholeWorld)
+    val index = new TileIndex(Bbs.expand(Bbs.parse(bbsText), inputBounds))
+    val headerBbox = bboxOpt.getOrElse(Bbox.NoBounds)
+
+    import spark.implicits._
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val idxB = spark.sparkContext.broadcast(index)
+
+    val classified: Dataset[ClassifiedRow] = els.flatMap { e0 =>
+      // step-2 sentinel collapse on mutable copies
+      val lon = e0.lon.clone(); val lat = e0.lat.clone()
+      collapse(lon, lat)
+      val hLon = e0.holesLon.map(_.clone()); val hLat = e0.holesLat.map(_.clone())
+      var k = 0
+      while (k < hLon.length) { collapse(hLon(k), hLat(k)); k += 1 }
+      val e = e0.copy(lon = lon, lat = lat, holesLon = hLon, holesLat = hLat)
+      val tile = tileOf(idxB.value, e.kind, lon, lat, hLon, hLat)
+      classifyElement(cfgB.value, oneElement, e, tile)
+    }
+
+    // deterministic global order, then assemble the container on the driver
+    val rows = classified
+      .orderBy($"kindRank", $"tile", $"subPass", $"blockIdx", $"sliceOrder", $"sliceValue", $"seq")
+      .collect()
+
+    val catalog = Seq(
+      'N' -> cfg.nodeKeys.zip(cfg.nodeValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq,
+      'W' -> cfg.wayKeys.zip(cfg.wayValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq,
+      'A' -> cfg.wayKeys.zip(cfg.areaValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq,
+      'C' -> cfg.collKeys.zip(cfg.collValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq)
+
+    // group: chunk -> block -> slice, preserving the sorted order
+    val chunks = groupOrdered(rows)(r => (r.kindRank, r.tile, r.subPass)).map { case (ck, chunkRows) =>
+      val outKind = chunkRows.head.outKind.charAt(0)
+      val cb = if (ck._2 < index.bounds.length) index.bounds(ck._2) else Bbox.NoBounds
+      val keys = cfg.keysFor(outKind)
+      val blocks = groupOrdered(chunkRows)(_.blockIdx).map { case (bIdx, blockRows) =>
+        val key = if (bIdx == keys.length) "" else keys(bIdx)
+        val slices = groupOrdered(blockRows)(r => (r.sliceOrder, r.sliceValue)).map { case ((_, v), sliceRows) =>
+          // slice content order = chunk input order
+          val els = sliceRows.sortBy(_.seq).map { r => (out: OmaBuf, ds: DeltaState) =>
+            val (lo, la, hLo, hLa) =
+              if (outKind == 'A') {
+                // write-time ring normalization (Area.sortRings)
+                val l = r.lon.clone(); val a = r.lat.clone()
+                val hl = r.holesLon.map(_.clone()); val ha = r.holesLat.map(_.clone())
+                Geo.normalizeRings(l, a, hl, ha)
+                (l, a, hl, ha)
+              } else (r.lon, r.lat, r.holesLon, r.holesLat)
+            OmaWriter.writeElement(out, ds, outKind, features, lo, la, hLo, hLa,
+              r.tags.toSeq.sortBy(_._1), r.members.toIndexedSeq, r.meta)
+          }
+          (v, els.toSeq)
+        }
+        (key, slices)
+      }
+      (outKind, cb, blocks)
+    }
+
+    val feat = features | (if (oneElement) OmaWire.FeatOneElement else 0)
+    val bytes = OmaWriter.writeFile(feat, headerBbox, zip, catalog, chunks)
+    Result(bytes, OmaReader.read(bytes))
+  }
+
+  /** group consecutive-equal keys from already-sorted input, preserving order. */
+  private def groupOrdered[T, K](rows: Seq[T])(key: T => K): Seq[(K, Seq[T])] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[K, scala.collection.mutable.ArrayBuffer[T]]
+    rows.foreach(r => out.getOrElseUpdate(key(r), scala.collection.mutable.ArrayBuffer.empty) += r)
+    out.toSeq.map { case (k, v) => (k, v.toSeq) }
+  }
+}
