@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.core.Geo
+
+/** From-scratch spatial cell encoders (no external geo jars exist in this
+  * environment, so these are original implementations of the two standard
+  * shapes):
+  *
+  *  - [[HexCells]]: an H3-style pointy-top hexagonal lattice over the
+  *    fixed-point plane, aperture-sqrt7 per resolution step (area shrinks
+  *    ~7x per res, like H3), axial coordinates with cube rounding, and
+  *    k-ring neighborhood walks — the substrate for ring-expansion kNN.
+  *  - [[HilbertCells]]: an S2-style space-filling-curve cell id — cube-face
+  *    projection of the unit sphere, then a Hilbert curve per face, so
+  *    nearby cells get nearby ids (the locality property S2 is used for).
+  */
+object HexCells {
+
+  /** circumradius (fixed-point units) at a resolution: res 0 ~ 40 deg,
+    * shrinking by sqrt(7) per level (aperture-7 hierarchy like H3). */
+  def radius(res: Int): Double = 4e8 / math.pow(math.sqrt(7.0), res)
+
+  private val Sqrt3 = math.sqrt(3.0)
+
+  /** axial (q, r) of the hex containing the point, via cube rounding. */
+  def cell(lon: Int, lat: Int, res: Int): (Int, Int) = {
+    val s = radius(res)
+    val qf = (Sqrt3 / 3.0 * lon - 1.0 / 3.0 * lat) / s
+    val rf = (2.0 / 3.0 * lat) / s
+    cubeRound(qf, rf)
+  }
+
+  def cubeRound(qf: Double, rf: Double): (Int, Int) = {
+    val sf = -qf - rf
+    var q = math.round(qf).toInt
+    var r = math.round(rf).toInt
+    val sC = math.round(sf).toInt
+    val dq = math.abs(q - qf); val dr = math.abs(r - rf); val ds = math.abs(sC - sf)
+    if (dq > dr && dq > ds) q = -r - sC
+    else if (dr > ds) r = -q - sC
+    (q, r)
+  }
+
+  def center(q: Int, r: Int, res: Int): (Double, Double) = {
+    val s = radius(res)
+    (s * (Sqrt3 * q + Sqrt3 / 2.0 * r), s * (1.5 * r))
+  }
+
+  /** pack (res, q, r) into one long cell id. */
+  def pack(res: Int, q: Int, r: Int): Long =
+    (res.toLong << 56) | ((q.toLong & 0xfffffffL) << 28) | (r.toLong & 0xfffffffL)
+  def unpack(id: Long): (Int, Int, Int) = {
+    val res = (id >> 56).toInt
+    val q = ((id >> 28) & 0xfffffffL).toInt << 4 >> 4 // sign-extend 28 bits
+    val r = (id & 0xfffffffL).toInt << 4 >> 4
+    (res, q, r)
+  }
+
+  def encode(lon: Int, lat: Int, res: Int): Long = {
+    val (q, r) = cell(lon, lat, res)
+    pack(res, q, r)
+  }
+
+  private val Dirs = Array((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+  /** the standard k-ring walk: cells at exactly hex-distance k. */
+  def ring(q: Int, r: Int, k: Int): Seq[(Int, Int)] = {
+    if (k == 0) return Seq((q, r))
+    val out = Seq.newBuilder[(Int, Int)]
+    var cq = q + Dirs(4)._1 * k
+    var cr = r + Dirs(4)._2 * k
+    for (i <- 0 until 6; _ <- 0 until k) {
+      out += ((cq, cr))
+      cq += Dirs(i)._1; cr += Dirs(i)._2
+    }
+    out.result()
+  }
+
+  def hexDistance(q1: Int, r1: Int, q2: Int, r2: Int): Int =
+    (math.abs(q1 - q2) + math.abs(r1 - r2) + math.abs((q1 + r1) - (q2 + r2))) / 2
+}
+
+object HilbertCells {
+
+  /** face (0..5) and [0,1]^2 face coordinates via cube projection. */
+  def faceUV(lon: Int, lat: Int): (Int, Double, Double) = {
+    val lonR = lon * 1e-7 * math.Pi / 180.0
+    val latR = lat * 1e-7 * math.Pi / 180.0
+    val x = math.cos(latR) * math.cos(lonR)
+    val y = math.cos(latR) * math.sin(lonR)
+    val z = math.sin(latR)
+    val (ax, ay, az) = (math.abs(x), math.abs(y), math.abs(z))
+    // face: the dominant axis, sign picks the hemisphere
+    if (ax >= ay && ax >= az) {
+      if (x > 0) (0, y / x, z / x) else (3, z / x, y / x)
+    } else if (ay >= az) {
+      if (y > 0) (1, z / y, x / y) else (4, x / y, z / y)
+    } else {
+      if (z > 0) (2, x / z, y / z) else (5, y / z, x / z)
+    }
+  }
+
+  /** xy -> Hilbert distance on a 2^order grid (iterative, public-domain
+    * rot/swap formulation). */
+  def hilbertD(order: Int, x0: Int, y0: Int): Long = {
+    var rx = 0; var ry = 0
+    var d = 0L
+    var x = x0; var y = y0
+    var s = 1 << (order - 1)
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1 else 0
+      ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      // rotate
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** S2-style cell id: 3 bits face, then the Hilbert index at `res`
+    * (2 bits per level), res in the low 5 bits.
+    */
+  def encode(lon: Int, lat: Int, res: Int): Long = {
+    val (face, u, v) = faceUV(lon, lat)
+    val n = 1 << res
+    def q(t: Double): Int = {
+      val i = ((t + 1.0) / 2.0 * n).toInt
+      if (i < 0) 0 else if (i >= n) n - 1 else i
+    }
+    val d = hilbertD(res, q(u), q(v))
+    (face.toLong << 58) | (d << 5) | res.toLong
+  }
+}

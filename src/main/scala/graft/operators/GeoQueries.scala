@@ -107,6 +107,37 @@ object GeoQueries {
         .orderBy("qid", "rk")
     },
 
+    QueryDef.sql("g_knn_hex",
+      s"""WITH pts AS (SELECT doc_id AS id, CAST(lon AS DOUBLE) AS x, CAST(lat AS DOUBLE) AS y
+         |             ${fromImg}),
+         |q AS (SELECT * FROM pts WHERE id % 40 = 0),
+         |r AS (SELECT q.id AS qid, p.id AS pid,
+         |        row_number() OVER (PARTITION BY q.id
+         |          ORDER BY (q.x-p.x)*(q.x-p.x)+(q.y-p.y)*(q.y-p.y), p.id) AS rk
+         |      FROM q JOIN pts p ON p.id <> q.id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid FROM r WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val pts = img(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
+      val qs = pts.filter(col("id") % 40 === 0)
+      KnnHex(pts, qs, k = 5, res = 2)
+        .select(col("qid"), col("rk"), col("pid"))
+        .orderBy("qid", "rk")
+    },
+
+    QueryDef.rowsOnly("g_cell_hex") { (s, dir) =>
+      val enc = udf((lon: Int, lat: Int) => HexCells.encode(lon, lat, 3))
+      img(s, dir).select(enc(col("lon"), col("lat")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy("cell")
+    },
+
+    QueryDef.rowsOnly("g_cell_hilbert") { (s, dir) =>
+      val enc = udf((lon: Int, lat: Int) => HilbertCells.encode(lon, lat, 8))
+      img(s, dir).select(enc(col("lon"), col("lat")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy("cell")
+    },
+
     QueryDef.sql("g_skew_agg",
       s"""SELECT tile, COUNT(*) AS cnt, CAST(SUM(phash % 1000000) AS BIGINT) AS s
          |FROM (SELECT CAST(($duckTile) AS BIGINT) AS tile, phash FROM ${ImageTable.skewedDuckSql()}) t

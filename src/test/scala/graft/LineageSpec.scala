@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.lineage.TileLineage
+import graft.sources.ImageTable
+import graft.operators.GeoQueries
+
+class LineageSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tiled = ImageTable.df(spark, "/root/testdata/sf0.001")
+    .select(col("image_id"), col("lon"), col("lat"), GeoQueries.tileCol.as("tile"))
+
+  test("killed-job resume: partial manifest -> only missing tiles written; digests audit clean") {
+    val root = java.nio.file.Files.createTempDirectory("lineage").toString
+    val df = tiled
+    val allTiles = df.select("tile").distinct().as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    assert(allTiles.length > 5)
+
+    // run 1: "crash" after half the tiles
+    val half = allTiles.take(allTiles.length / 2).toSet
+    val firstRun = TileLineage.writeTiled(df.filter(col("tile").isin(half.toSeq: _*)), root)
+    assert(firstRun.written.map(_.tile).toSet == half)
+    assert(firstRun.skipped.isEmpty)
+
+    // run 2: full input -> resumes, writing only the missing tiles
+    val secondRun = TileLineage.writeTiled(df, root)
+    assert(secondRun.skipped.toSet == half)
+    assert(secondRun.written.map(_.tile).toSet == allTiles.toSet -- half)
+
+    // run 3: fully idempotent no-op
+    val thirdRun = TileLineage.writeTiled(df, root)
+    assert(thirdRun.written.isEmpty)
+    assert(thirdRun.skipped.toSet == allTiles.toSet)
+
+    // the on-disk data equals the input exactly (row-for-row, any order)
+    val back = spark.read.parquet(root + "/data")
+    assert(back.count() == df.count())
+    assert(back.select("image_id").exceptAll(df.select("image_id")).count() == 0)
+
+    // manifest digests match recomputation from disk
+    val audit = TileLineage.audit(spark, root)
+    assert(audit.nonEmpty && audit.forall(_._2), s"audit failed: ${audit.filterNot(_._2)}")
+  }
+}
