@@ -158,6 +158,9 @@ final class TileIndex(val bounds: Array[Bbox], gx: Int = 1024, gy: Int = 512)
     extends Serializable {
   private val spanLon = Geo.MaxLon.toLong - Geo.MinLon
   private val spanLat = Geo.MaxLat.toLong - Geo.MinLat
+  // identity for the per-JVM candidate-list cache: every deserialized copy
+  // of this index (one per task) shares one build per executor JVM
+  private val cacheKey: String = java.util.UUID.randomUUID().toString
 
   private def ix(lon: Int): Int = {
     val i = ((lon.toLong - Geo.MinLon) * gx / spanLon).toInt
@@ -169,9 +172,13 @@ final class TileIndex(val bounds: Array[Bbox], gx: Int = 1024, gy: Int = 512)
   }
 
   // candidates(cy * gx + cx) = ascending tile ids intersecting that index cell.
-  // @transient lazy: only the bounds array (~680 KB) rides the task binary;
-  // each executor rebuilds the ~13 MB candidate lists once on first use.
-  @transient private lazy val candidates: Array[Array[Int]] = {
+  // @transient lazy + per-JVM cache: only the bounds array (~680 KB) rides the
+  // task binary; the ~13 MB candidate lists are built ONCE per executor JVM
+  // (not per deserialized task copy) and shared via the companion cache.
+  @transient private lazy val candidates: Array[Array[Int]] =
+    TileIndex.cache.computeIfAbsent(cacheKey, _ => build())
+
+  private def build(): Array[Array[Int]] = {
     val buf = Array.fill(gx * gy)(new ArrayBuffer[Int](8))
     var b = 0
     while (b < bounds.length) {
@@ -216,4 +223,9 @@ final class TileIndex(val bounds: Array[Bbox], gx: Int = 1024, gy: Int = 512)
   }
 
   def size: Int = bounds.length
+}
+
+object TileIndex {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Int]]]()
 }

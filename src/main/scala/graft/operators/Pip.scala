@@ -36,7 +36,12 @@ final class PipSet(val polys: Array[PreparedPolygon], gx: Int = 256, gy: Int = 1
     val i = ((lat.toLong - Geo.MinLat) * gy / spanLat).toInt
     if (i < 0) 0 else if (i >= gy) gy - 1 else i
   }
-  private val cells: Array[Array[Int]] = {
+  private val cacheKey: String = java.util.UUID.randomUUID().toString
+  // built once per executor JVM; only the polygons ride the task binary
+  @transient private lazy val cells: Array[Array[Int]] =
+    PipSet.cache.computeIfAbsent(cacheKey, _ => build())
+
+  private def build(): Array[Array[Int]] = {
     val buf = Array.fill(gx * gy)(new scala.collection.mutable.ArrayBuffer[Int](4))
     for (p <- polys) {
       val x0 = ix(p.bbox.minLon); val x1 = ix(p.bbox.maxLon)
@@ -63,6 +68,11 @@ final class PipSet(val polys: Array[PreparedPolygon], gx: Int = 256, gy: Int = 1
     }
     m
   }
+}
+
+object PipSet {
+  private[operators] val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Int]]]()
 }
 
 case class PipMaskExpr(left: Expression, right: Expression, set: PipSet)

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that matter at 100 TB must be
+  * visible in the plan, not assumed — filters reach the parquet scan, scans
+  * are column-pruned, the small dim side broadcasts, custom expressions stay
+  * inside whole-stage codegen, and the salted aggregation is two-phase.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "false") // pre-execution explain shows codegen markers
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter + projection push into the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("tile-id expression runs inside whole-stage codegen") {
+    val df = sources.ImageTable.df(spark, dir)
+      .select(operators.GeoQueries.tileCol.as("tile"))
+      .groupBy("tile").agg(count(lit(1)))
+    val p = plan(df)
+    // "* " prefixes mark operators inside whole-stage codegen
+    assert(p.linesIterator.exists(l => l.trim.startsWith("* HashAggregate") || l.trim.startsWith("+- * HashAggregate")), p)
+    // the scan only needs doc_id (+ text for caption is pruned away)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("nation join broadcasts the small side") {
+    val q = operators.RelationalQueries.defs.find(_.name == "q_join_pricing").get
+    val p = plan(q.fn(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("salted skew aggregation is two-phase (partial agg present)") {
+    val q = operators.GeoQueries.defs.find(_.name == "g_skew_agg").get
+    val p = plan(q.fn(spark, dir))
+    // two HashAggregate pairs: (tile,salt) then (tile)
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected >=4 HashAggregate nodes, got $aggs\n$p")
+  }
+
+  test("pip mask expression stays codegen'd") {
+    val df = sources.ImageTable.df(spark, dir)
+      .select(operators.Pip.mask(col("lon"), col("lat"), operators.Pip.fixtureSet).as("m"))
+    val p = plan(df)
+    assert(p.linesIterator.exists(_.trim.contains("* Project")), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
+}
