@@ -54,6 +54,41 @@ object MultimodalQueries {
         .orderBy("image_id")
     },
 
+    // decode -> 2x nearest-neighbour downsample in the same mapPartitions
+    // batch (the resize/frame-sample plumbing; rows-only)
+    QueryDef.rowsOnly("m_img_resize") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      ImageTable.withBytes(ImageTable.df(s, dir))
+        .select("image_id", "bytes")
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (w, h, px) = ImageCodec.decode(bytes)
+            val (rw, rh) = (w / 2, h / 2)
+            val out = new Array[Byte](rw * rh * 3)
+            var y = 0
+            while (y < rh) {
+              var x = 0
+              while (x < rw) {
+                var c = 0
+                while (c < 3) {
+                  out((y * rw + x) * 3 + c) = px(((y * 2) * w + x * 2) * 3 + c)
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            var luma = 0L
+            out.foreach(b => luma += (b & 0xff))
+            (id, rw.toLong, rh.toLong, luma / math.max(1, out.length))
+          }
+        }
+        .toDF("image_id", "rw", "rh", "mean_luma")
+        .orderBy("image_id")
+    },
+
     // per-row invariant flags (engine-side decode; rows-only check)
     QueryDef.rowsOnly("m_img_invariant") { (s, dir) =>
       decoded(ImageTable.withBytes(ImageTable.df(s, dir)))

@@ -227,6 +227,21 @@ object RelationalQueries {
         .orderBy("kind")
     },
 
+    // hierarchical totals via ROLLUP (sentinel-coalesced so both engines
+    // order and hash identically — no NULL-order divergence)
+    QueryDef.sql("q_rollup",
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS st,
+         |  COUNT(*) AS n, CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_c
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY f, st""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(expr(cents("l_extendedprice"))).as("sum_c"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("f"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("st"), col("n"), col("sum_c"))
+        .orderBy("f", "st")
+    },
+
     // P1 analog — the 49-key discardable-tag filter
     QueryDef.sql("o_tag_filter", {
       val pool = KeyPool.map(k => s"'$k'").mkString(", ")
