@@ -79,6 +79,41 @@ object EmbedQueries {
         .orderBy("vec_id")
     },
 
+    // embedding-cosine near-duplicate pairs: cos >= 0.9 decided in exact
+    // integer arithmetic (100*dot^2 >= 81*|a|^2*|b|^2, dot >= 0) over
+    // milli-quantized vectors; near-dups planted (1-in-10 re-inserted)
+    QueryDef.sql("e_cosine_dup", {
+      val dot = (1 to Dim).map(d => s"a.v[$d] * b.v[$d]").mkString(" + ")
+      val na = (1 to Dim).map(d => s"a.v[$d] * a.v[$d]").mkString(" + ")
+      val nb = (1 to Dim).map(d => s"b.v[$d] * b.v[$d]").mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, $duckQuant AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, $duckQuant AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE ($dot) >= 0 AND 100 * ($dot) * ($dot) >= 81 * ($na) * ($nb)
+         |ORDER BY ida, idb""".stripMargin
+    }) { (s, dir) =>
+      val base = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+      val planted = base.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val v = base.unionByName(planted)
+      val a = v.select(col("vec_id").as("ida"), col("v").as("va"))
+      val b = v.select(col("vec_id").as("idb"), col("v").as("vb"))
+      def ip(x: String, y: String) =
+        expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0L, (acc, e) -> acc + e)")
+      a.join(b, col("ida") < col("idb"))
+        .withColumn("dot", ip("va", "vb"))
+        .withColumn("na", ip("va", "va"))
+        .withColumn("nb", ip("vb", "vb"))
+        .filter(col("dot") >= 0 &&
+          lit(100) * col("dot") * col("dot") >= lit(81) * col("na") * col("nb"))
+        .select("ida", "idb")
+        .orderBy("ida", "idb")
+    },
+
     // bucket histogram: the skew diagnostic for the LSH path
     QueryDef.sql("e_bucket_hist", {
       val bits = hyperplanes.zipWithIndex.map { case (w, p) =>
