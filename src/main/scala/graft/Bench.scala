@@ -37,7 +37,7 @@ object Bench {
       "skew_agg" -> {
         val sk = sources.ImageTable.skewed(imgCached)
           .select(operators.GeoQueries.tileCol.as("tile"), col("phash"),
-            (sources.ImageTable.h60(col("image_id")) % 16).as("salt"))
+            pmod(xxhash64(col("image_id")), lit(16)).as("salt"))
         sk.groupBy("tile", "salt").agg(count(lit(1)).as("pc"), sum(col("phash") % 1000000).as("ps"))
           .groupBy("tile").agg(sum("pc").as("cnt"), sum("ps").as("s"))
       },
@@ -67,7 +67,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "20").toInt
+    // x200 = 1M rows at sf0.1: small-input fixed overhead dominated the
+    // round-1 artifact at x20 (19k rows/s reported vs 471k steady-state)
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "200").toInt
     val spark = session(cpus)
 
     val qs = headline(spark, sfDir, mult)

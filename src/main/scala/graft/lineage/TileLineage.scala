@@ -65,7 +65,18 @@ object TileLineage {
     */
   def writeTiled(df: DataFrame, root: String): WriteSummary = {
     val done = readManifest(root).map(_.tile).toSet
-    val remaining = df.filter(!col("tile").isin(done.toSeq: _*))
+    // broadcast anti-join, not isin(...): at ~43k manifested tiles an isin
+    // literal list is a giant expression tree; the anti-join stays O(1) in
+    // plan size and broadcasts a few hundred KB of done keys
+    val remaining =
+      if (done.isEmpty) df
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val doneDf = done.toSeq.sorted.toDF("tile")
+          .select(col("tile").cast(df.schema("tile").dataType))
+        df.join(broadcast(doneDf), Seq("tile"), "left_anti")
+      }
     val todo = stats(remaining)
     if (todo.nonEmpty) {
       remaining.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -34,8 +34,17 @@ object DocQueries {
   private val duckDocWords =
     s"(SELECT DISTINCT doc_id, unnest($duckWords) AS word FROM documents)"
 
+  /** 32 minhash functions in 2 bands x 16 rows: the banding threshold
+    * (1/b)^(1/r) = 0.5^(1/16) ~ 0.96 targets true near-duplicates. The
+    * synthetic corpus is mutually VERY similar (measured mean pair-Jaccard
+    * 0.61, 7% of pairs >= 0.9), so shallow bands (round 1 used 4x2, which
+    * admitted 79% of all pairs) degenerate to all-pairs on this data —
+    * steep 16-row bands keep the candidate set near the true-positive set
+    * while identical documents (planted dups) still collide in every band.
+    */
   private val MinhashSeeds: Seq[(Long, Long)] =
-    (0 until 8).map(j => (2L * j + 3, 12345L + 777L * j))
+    (0 until 32).map(j => (2L * j + 3, 12345L + 777L * j))
+  private val BandRows = 16
   private val P = 1000000007L
 
   val defs: Seq[QueryDef] = Seq(
@@ -165,44 +174,85 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
-    // minhash + LSH banding: 8 hashes, 4 bands of 2 -> candidate pairs
+    // minhash + LSH banding + exact-Jaccard confirm: 32 hashes in 2 bands
+    // of 16 rows generate candidate pairs (planted exact dups — doc_id % 7
+    // re-inserted — collide in every band), then the exact integer
+    // predicate J >= 0.9 (19*|inter| >= 9*(|A|+|B|)) confirms on the real
+    // word sets. Candidate generation AND confirm are mirrored in the
+    // oracle, so the gate is bit-exact.
     QueryDef.sql("d_minhash_lsh", {
       val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
         s"MIN(($a * hw + $b) % $P) AS m$j" }.mkString(", ")
-      val bands = (0 until 4).map { bd =>
-        s"SELECT doc_id, '$bd:' || m${2 * bd} || ':' || m${2 * bd + 1} AS bucket FROM sig"
+      val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
+        val cols = (0 until BandRows).map(r => s"m${BandRows * bd + r}").mkString(" || ':' || ")
+        s"SELECT doc_id, '$bd:' || $cols AS bucket FROM sig"
       }.mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM $duckDocWords t),
-         |sig AS (SELECT doc_id, $mins FROM w GROUP BY doc_id),
-         |b AS ($bands)
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |w AS (SELECT DISTINCT doc_id, unnest($duckWords) AS word FROM all_docs),
+         |h AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM w),
+         |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |b AS ($bands),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, COUNT(*) AS i
+         |          FROM cand c JOIN w x ON x.doc_id = c.a
+         |                      JOIN w y ON y.doc_id = c.b AND y.word = x.word
+         |          GROUP BY c.a, c.b)
+         |SELECT a, b, i, sa.n AS na, sb.n AS nb
+         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE 19 * i >= 9 * (sa.n + sb.n)
          |ORDER BY a, b""".stripMargin
     }) { (s, dir) =>
-      val w = docWords(s, dir).select(col("doc_id"), expr(h60word("word")).as("hw"))
-      val sig = w.groupBy("doc_id").agg(
-        MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
-          min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
-        }.head,
-        MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
-          min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
-        }.tail: _*)
-      val bands = (0 until 4).map { bd =>
-        sig.select(col("doc_id"),
-          concat(lit(s"$bd:"), col(s"m${2 * bd}").cast("string"), lit(":"),
-            col(s"m${2 * bd + 1}").cast("string")).as("bucket"))
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000000L)
+      val w = d.unionByName(planted)
+        .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
+        .distinct()
+      val h = w.select(col("doc_id"), expr(h60word("word")).as("hw"))
+      val minCols = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+        min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
+      }
+      val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
+        val parts = (0 until BandRows).flatMap(r =>
+          Seq(lit(":"), col(s"m${BandRows * bd + r}").cast("string"))).tail
+        sig.select(col("doc_id"), concat(lit(s"$bd:") +: parts: _*).as("bucket"))
       }.reduce(_ unionByName _)
-      bands.as("x").join(bands.as("y"),
+      val cand = bands.as("x").join(bands.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
+      val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(w.select(col("doc_id").as("a"), col("word")), Seq("a"))
+        .join(w.select(col("doc_id").as("b"), col("word")), Seq("b", "word"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .filter(lit(19) * col("i") >= lit(9) * (col("na") + col("nb")))
+        .select("a", "b", "i", "na", "nb")
         .orderBy("a", "b")
     },
 
-    // n-gram (word-set) Jaccard near-dup: pairs with J >= 0.5, integer-exact
-    // predicate 3*|inter| >= |A| + |B|; restricted to a 1-in-10 doc subset
+    // rare-word Jaccard near-dup: pairs with J >= 0.5 over the DF-CAPPED
+    // word sets (words in more than 20% of the subset's documents are
+    // dropped before the self-equi-join on `word`). The cap is the skew
+    // fix: stop-word hot keys made the join quadratic in round 1; capped
+    // keys have bounded multiplicity and the common-vocabulary mass (which
+    // carries no near-dup signal on this corpus) never enters the shuffle.
+    // Integer-exact predicate 3*|inter| >= |A| + |B|; 1-in-10 doc subset.
     QueryDef.sql("d_jaccard",
-      s"""WITH w AS (SELECT doc_id, word FROM $duckDocWords t WHERE doc_id % 10 = 0),
+      s"""WITH w0 AS (SELECT doc_id, word FROM $duckDocWords t WHERE doc_id % 10 = 0),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w0),
+         |keep AS (SELECT word FROM w0 GROUP BY word
+         |         HAVING 5 * COUNT(*) <= (SELECT n FROM nd)),
+         |w AS (SELECT w0.doc_id, w0.word FROM w0 JOIN keep USING (word)),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
@@ -212,7 +262,15 @@ object DocQueries {
          |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE 3 * i >= sa.n + sb.n
          |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      val w = docWords(s, dir).filter(col("doc_id") % 10 === 0)
+      val w0 = docWords(s, dir).filter(col("doc_id") % 10 === 0)
+      val nd = w0.agg(countDistinct("doc_id").as("nd"))
+      // (doc_id, word) is distinct, so count(*) per word IS the document
+      // frequency; the 1-row count side cross-joins as a broadcast scalar
+      val keep = w0.groupBy("word").agg(count(lit(1)).as("dfc"))
+        .crossJoin(broadcast(nd))
+        .filter(lit(5) * col("dfc") <= col("nd"))
+        .select("word")
+      val w = w0.join(keep, Seq("word"), "left_semi")
       val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = w.as("x").join(w.as("y"),
           col("x.word") === col("y.word") && col("x.doc_id") < col("y.doc_id"))

@@ -1,14 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.core.PortableHash
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
   * Exactness strategy: quantize to integer milli-units once, then all
   * distances/projections are exact BIGINT arithmetic — the DuckDB oracle
   * reproduces them bit-for-bit (float summation order never matters).
+  *
+  * Scale strategy: every pairwise operator goes through a random-hyperplane
+  * LSH bucket JOIN (equi-join on bucket bits, shuffle-partitioned by
+  * bucket), never a cartesian. The brute-force top-k (e_topk_mips) is kept
+  * as the small-n exactness/recall baseline only; the scale path is
+  * e_ann_topk (bucket + 1-bit multiprobe) and the banded candidate join in
+  * e_cosine_dup. Both are candidate-generation + exact-integer-confirm, so
+  * the DuckDB oracle reproduces the full operator (including the candidate
+  * set) bit-for-bit.
   */
 object EmbedQueries {
 
@@ -24,15 +34,42 @@ object EmbedQueries {
   private val duckQuant =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** 8 deterministic hyperplanes with integer weights in [-1000, 1000]. */
-  lazy val hyperplanes: Array[Array[Long]] = Array.tabulate(8, Dim) { (p, d) =>
+  /** 32 deterministic hyperplanes with integer weights in [-1000, 1000]:
+    * the first 8 are the per-vector bucket id (e_lsh_bucket / e_ann_topk),
+    * all 32 feed the 4-band x 8-bit candidate generation of e_cosine_dup.
+    */
+  lazy val hyperplanes32: Array[Array[Long]] = Array.tabulate(32, Dim) { (p, d) =>
     PortableHash.h60(s"hp:$p:$d") % 2001 - 1000
   }
+  lazy val hyperplanes: Array[Array[Long]] = hyperplanes32.take(8)
+
+  /** Spark column: sign-bit integer over hyperplanes [from, until) of the
+    * quantized vector column `v` (bit p-from of the result = plane p). */
+  private def bitsCol(from: Int, until: Int): Column =
+    (from until until).map { p =>
+      val w = hyperplanes32(p)
+      val wArr = s"array(${w.mkString("L, ")}L)"
+      val proj = expr(s"aggregate(zip_with($wArr, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e)")
+      when(proj >= 0, lit(1L << (p - from))).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** DuckDB SQL for the same sign-bit integer over column `v`. */
+  private def bitsSql(from: Int, until: Int): String =
+    (from until until).map { p =>
+      val w = hyperplanes32(p)
+      val proj = (1 to Dim).map(d => s"(${w(d - 1)}) * v[$d]").mkString(" + ")
+      s"CASE WHEN ($proj) >= 0 THEN ${1L << (p - from)} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** exact integer inner product of two quantized-vector columns. */
+  private def ip(x: String, y: String): Column =
+    expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0L, (acc, e) -> acc + e)")
 
   val defs: Seq[QueryDef] = Seq(
 
-    // brute-force top-k maximum-inner-product search (the exactness baseline
-    // for the ANN path); k=3, 1-in-25 queries
+    // brute-force top-k maximum-inner-product search: the exactness/recall
+    // BASELINE for the ANN path (small query set only — O(q*n) by design;
+    // e_ann_topk below is the scale path)
     QueryDef.sql("e_topk_mips", {
       val dot = (1 to Dim).map(d => s"q.v[$d] * p.v[$d]").mkString(" + ")
       s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
@@ -46,65 +83,110 @@ object EmbedQueries {
       val v = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
       val q = v.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e)")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("dot").desc, col("pid"))
       broadcast(q).join(v.withColumnRenamed("vec_id", "pid"), col("pid") =!= col("qid"))
-        .withColumn("dot", dot)
+        .withColumn("dot", ip("qv", "v"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
         .orderBy("qid", "rk")
     },
 
-    // random-hyperplane LSH bucketing (the ANN scale path: candidates only
-    // meet inside a bucket; here we verify the bucket assignment itself)
-    QueryDef.sql("e_lsh_bucket", {
-      val bits = hyperplanes.zipWithIndex.map { case (w, p) =>
-        val proj = (1 to Dim).map(d => s"(${w(d - 1)}) * v[$d]").mkString(" + ")
-        s"CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END"
-      }.mkString(" + ")
-      s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket, CAST(label AS BIGINT) AS label
-         |FROM (SELECT vec_id, label, $duckQuant AS v FROM embeddings) t
-         |ORDER BY vec_id""".stripMargin
+    // ANN top-k MIPS via LSH-bucket equi-join with 1-bit multiprobe: each
+    // query probes its own 8-bit hyperplane bucket plus the 8 one-bit
+    // flips, candidates meet in a shuffle equi-join on the bucket id, the
+    // exact integer dot ranks within candidates. No cartesian anywhere —
+    // this is the 100 TB shape (the oracle reproduces the candidate set, so
+    // the gate is exact; recall vs the brute baseline is asserted in
+    // EmbedSpec).
+    QueryDef.sql("e_ann_topk", {
+      val dot = (1 to Dim).map(d => s"pr.qv[$d] * p.v[$d]").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST(${bitsSql(0, 8)} AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % 25 = 0),
+         |pr AS (SELECT qid, qv, xor(bucket, CAST(f.f AS BIGINT)) AS pb
+         |       FROM q CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) f(f)),
+         |r AS (SELECT pr.qid, p.vec_id AS pid, ($dot) AS dot,
+         |        row_number() OVER (PARTITION BY pr.qid ORDER BY ($dot) DESC, p.vec_id) AS rk
+         |      FROM pr JOIN b p ON p.bucket = pr.pb AND p.vec_id <> pr.qid)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
     }) { (s, dir) =>
+      val b = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+        .withColumn("bucket", bitsCol(0, 8).cast("long"))
+      val q = b.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      // 1-bit multiprobe: the probe buckets are distinct per query, so each
+      // candidate matches exactly one probe (no dedup needed)
+      val probes = q
+        .withColumn("f", explode(array((Seq(0L) ++ (0 until 8).map(1L << _)).map(lit): _*)))
+        .withColumn("pb", expr("bucket ^ f"))
+        .select(col("qid"), col("qv"), col("pb"))
+      val p = b.select(col("vec_id").as("pid"), col("v").as("pv"), col("bucket").as("pbucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dot").desc, col("pid"))
+      probes.join(p, col("pb") === col("pbucket") && col("pid") =!= col("qid"))
+        .withColumn("dot", ip("qv", "pv"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
+        .orderBy("qid", "rk")
+    },
+
+    // random-hyperplane LSH bucketing (verifies the bucket assignment the
+    // ANN join keys on)
+    QueryDef.sql("e_lsh_bucket",
+      s"""SELECT vec_id, CAST(${bitsSql(0, 8)} AS BIGINT) AS bucket, CAST(label AS BIGINT) AS label
+         |FROM (SELECT vec_id, label, $duckQuant AS v FROM embeddings) t
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val v = emb(s, dir).select(col("vec_id"), col("label"), expr(quantExpr).as("v"))
-      val bucket = hyperplanes.zipWithIndex.map { case (w, p) =>
-        val wArr = s"array(${w.mkString("L, ")}L)"
-        val proj = expr(s"aggregate(zip_with($wArr, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e)")
-        when(proj >= 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-      v.select(col("vec_id"), bucket.cast("long").as("bucket"),
+      v.select(col("vec_id"), bitsCol(0, 8).cast("long").as("bucket"),
           col("label").cast("long").as("label"))
         .orderBy("vec_id")
     },
 
-    // embedding-cosine near-duplicate pairs: cos >= 0.9 decided in exact
-    // integer arithmetic (100*dot^2 >= 81*|a|^2*|b|^2, dot >= 0) over
-    // milli-quantized vectors; near-dups planted (1-in-10 re-inserted)
+    // embedding-cosine near-duplicate pairs, LSH-banded: candidates collide
+    // in >= 1 of 4 bands of 8 hyperplane bits (identical vectors collide in
+    // ALL bands, so true duplicates are never missed), then the exact
+    // integer predicate cos >= 0.9 (100*dot^2 >= 81*|a|^2*|b|^2, dot >= 0)
+    // confirms inside the candidate set. Near-dups planted (1-in-10
+    // re-inserted). The former cartesian a.join(b, ida < idb) is gone — the
+    // join key is the band bucket.
     QueryDef.sql("e_cosine_dup", {
-      val dot = (1 to Dim).map(d => s"a.v[$d] * b.v[$d]").mkString(" + ")
-      val na = (1 to Dim).map(d => s"a.v[$d] * a.v[$d]").mkString(" + ")
-      val nb = (1 to Dim).map(d => s"b.v[$d] * b.v[$d]").mkString(" + ")
-      s"""WITH v AS (
+      val dot = (1 to Dim).map(d => s"va.v[$d] * vb.v[$d]").mkString(" + ")
+      val na = (1 to Dim).map(d => s"va.v[$d] * va.v[$d]").mkString(" + ")
+      val nb = (1 to Dim).map(d => s"vb.v[$d] * vb.v[$d]").mkString(" + ")
+      s"""WITH base AS (
          |  SELECT vec_id, $duckQuant AS v FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 1000000 AS vec_id, $duckQuant AS v
-         |  FROM embeddings WHERE vec_id % 10 = 0)
-         |SELECT a.vec_id AS ida, b.vec_id AS idb
-         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |b AS (SELECT vec_id, v, CAST(${bitsSql(0, 32)} AS BIGINT) AS bits FROM base),
+         |bands AS (SELECT vec_id, 256 * g.g + ((bits >> (8 * g.g)) & 255) AS bkey
+         |          FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) g(g)),
+         |cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+         |         FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |SELECT c.ida, c.idb
+         |FROM cand c JOIN b va ON va.vec_id = c.ida JOIN b vb ON vb.vec_id = c.idb
          |WHERE ($dot) >= 0 AND 100 * ($dot) * ($dot) >= 81 * ($na) * ($nb)
          |ORDER BY ida, idb""".stripMargin
     }) { (s, dir) =>
-      val base = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
-      val planted = base.filter(col("vec_id") % 10 === 0)
+      val base0 = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+      val planted = base0.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
-      val v = base.unionByName(planted)
-      val a = v.select(col("vec_id").as("ida"), col("v").as("va"))
-      val b = v.select(col("vec_id").as("idb"), col("v").as("vb"))
-      def ip(x: String, y: String) =
-        expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0L, (acc, e) -> acc + e)")
-      a.join(b, col("ida") < col("idb"))
+      val b = base0.unionByName(planted).withColumn("bits", bitsCol(0, 32).cast("long"))
+      val bands = (0 until 4).map { g =>
+        b.select(col("vec_id"),
+          (lit(256L * g) + shiftright(col("bits"), 8 * g).bitwiseAND(255L)).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bkey") === col("y.bkey") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+        .distinct()
+      cand
+        .join(b.select(col("vec_id").as("ida"), col("v").as("va")), Seq("ida"))
+        .join(b.select(col("vec_id").as("idb"), col("v").as("vb")), Seq("idb"))
         .withColumn("dot", ip("va", "vb"))
         .withColumn("na", ip("va", "va"))
         .withColumn("nb", ip("vb", "vb"))
@@ -115,23 +197,13 @@ object EmbedQueries {
     },
 
     // bucket histogram: the skew diagnostic for the LSH path
-    QueryDef.sql("e_bucket_hist", {
-      val bits = hyperplanes.zipWithIndex.map { case (w, p) =>
-        val proj = (1 to Dim).map(d => s"(${w(d - 1)}) * v[$d]").mkString(" + ")
-        s"CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END"
-      }.mkString(" + ")
+    QueryDef.sql("e_bucket_hist",
       s"""SELECT bucket, COUNT(*) AS n FROM
-         |(SELECT CAST($bits AS BIGINT) AS bucket
+         |(SELECT CAST(${bitsSql(0, 8)} AS BIGINT) AS bucket
          | FROM (SELECT $duckQuant AS v FROM embeddings) t) b
-         |GROUP BY bucket ORDER BY bucket""".stripMargin
-    }) { (s, dir) =>
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
       val v = emb(s, dir).select(expr(quantExpr).as("v"))
-      val bucket = hyperplanes.zipWithIndex.map { case (w, p) =>
-        val wArr = s"array(${w.mkString("L, ")}L)"
-        val proj = expr(s"aggregate(zip_with($wArr, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e)")
-        when(proj >= 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-      v.select(bucket.cast("long").as("bucket"))
+      v.select(bitsCol(0, 8).cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }

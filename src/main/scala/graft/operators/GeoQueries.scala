@@ -143,10 +143,13 @@ object GeoQueries {
          |FROM (SELECT CAST(($duckTile) AS BIGINT) AS tile, phash FROM ${ImageTable.skewedDuckSql()}) t
          |GROUP BY tile ORDER BY tile""".stripMargin) { (s, dir) =>
       // salted two-phase aggregation: partial agg on (tile, salt) defuses the
-      // dense-metro hot keys, final agg on tile alone
+      // dense-metro hot keys, final agg on tile alone. The salt only spreads
+      // the partial-agg keys (never visible in the output), so it uses cheap
+      // xxhash64 rather than the md5-derived h60 the oracle-visible columns
+      // need.
       val salted = ImageTable.skewed(img(s, dir))
         .select(tileCol.as("tile"), col("phash"),
-          (ImageTable.h60(col("image_id")) % 16).as("salt"))
+          pmod(xxhash64(col("image_id")), lit(16)).as("salt"))
       salted
         .groupBy("tile", "salt")
         .agg(count(lit(1)).as("pc"), sum(col("phash") % 1000000).as("ps"))

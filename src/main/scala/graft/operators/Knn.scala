@@ -56,9 +56,13 @@ object Knn {
         col("qlat").cast("long") + 900000000L - (col("qcy") - 1) * cell,
         (col("qcy") + 2) * cell - (col("qlat").cast("long") + 900000000L)).cast("double")
 
+    // STRICT <: at ~1.3e19 magnitudes double arithmetic is past 2^53
+    // exactness, so an outside point at exactly the block-edge distance
+    // could tie the k-th candidate; boundary ties must fall through to
+    // the brute-force pass where the oracle's (d, pid) order decides.
     val perQuery = local.groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
       .join(qs, Seq("qid"))
-      .withColumn("final", col("n") === k && col("kth") <= margin * margin)
+      .withColumn("final", col("n") === k && col("kth") < margin * margin)
 
     val resolved = local.join(perQuery.filter(col("final")).select("qid"), Seq("qid"), "left_semi")
 
