@@ -78,6 +78,40 @@ object HexCells {
 
   def hexDistance(q1: Int, r1: Int, q2: Int, r2: Int): Int =
     (math.abs(q1 - q2) + math.abs(r1 - r2) + math.abs((q1 + r1) - (q2 + r2))) / 2
+
+  /** EXACT min Euclidean distance from the center of a cell to any point of
+    * any cell at hex distance exactly h (in `radius(res)` units x that
+    * radius): the naive "big hexagon inradius" over-estimates because the
+    * ring boundary has re-entrant valley vertices (true values 0.866, 2.0,
+    * 3.606, 5.0, ... x r0 for h = 1..4 — vs sqrt(3)/2*(2h-1) = 0.87, 2.6,
+    * 4.3, 6.1). Monotone in h, so it lower-bounds every cell at >= h.
+    * Used by the kNN ring-expansion certification (KnnHex).
+    */
+  def minRingDist(res: Int, h: Int): Double = {
+    val r0 = radius(res)
+    def segDist(px: Double, py: Double, ax: Double, ay: Double, bx: Double, by: Double): Double = {
+      val dx = bx - ax; val dy = by - ay
+      val t0 = ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)
+      val t = math.max(0.0, math.min(1.0, t0))
+      math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+    }
+    var best = Double.PositiveInfinity
+    for ((q, r) <- ring(0, 0, h)) {
+      val (cx, cy) = center(q, r, res)
+      // pointy-top vertices at angles 30 + 60k degrees, circumradius r0
+      val v = Array.tabulate(6) { k =>
+        val a = math.toRadians(30 + 60 * k)
+        (cx + r0 * math.cos(a), cy + r0 * math.sin(a))
+      }
+      var i = 0
+      while (i < 6) {
+        val (ax, ay) = v(i); val (bx, by) = v((i + 1) % 6)
+        best = math.min(best, segDist(0, 0, ax, ay, bx, by))
+        i += 1
+      }
+    }
+    best
+  }
 }
 
 object HilbertCells {

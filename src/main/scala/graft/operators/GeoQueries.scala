@@ -124,14 +124,17 @@ object GeoQueries {
         .orderBy("qid", "rk")
     },
 
-    QueryDef.rowsOnly("g_cell_hex") { (s, dir) =>
+    // the encoders are trig/Hilbert kernels DuckDB can't reproduce: the
+    // oracle is the FROZEN expected table from the deterministic seed
+    // (see FrozenOracles; cross-checked by CellsSpec unit properties)
+    QueryDef.sql("g_cell_hex", FrozenOracles.gCellHex) { (s, dir) =>
       val enc = udf((lon: Int, lat: Int) => HexCells.encode(lon, lat, 3))
       img(s, dir).select(enc(col("lon"), col("lat")).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .orderBy("cell")
     },
 
-    QueryDef.rowsOnly("g_cell_hilbert") { (s, dir) =>
+    QueryDef.sql("g_cell_hilbert", FrozenOracles.gCellHilbert) { (s, dir) =>
       val enc = udf((lon: Int, lat: Int) => HilbertCells.encode(lon, lat, 8))
       img(s, dir).select(enc(col("lon"), col("lat")).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n"))

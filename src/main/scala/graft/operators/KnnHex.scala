@@ -1,69 +1,95 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-/** Exact kNN via iterative hex-ring expansion (the H3-style path the north
-  * star names): points are bucketed into hex cells and broadcast; each query
-  * expands rings 0, 1, 2, ... around its cell, keeping a running top-k, and
-  * stops once the k-th distance is certified against the next ring's
-  * geometric lower bound (points in cells at hex-distance d sit at least
-  * d*sqrt(3)*R - 2R away). A final pass re-sorts the per-query candidate
-  * set — the "secondary sort-merge pass".
+/** Exact kNN via hex-ring expansion (the H3-style path the north star
+  * names), fully shuffle-native: points are bucketed into hex cells and the
+  * cell id is a JOIN KEY, never a driver-side index (the round-1 version
+  * collected the points table to the driver; that shape is gone).
   *
-  * The broadcast-index shape fits queries >> points (ANN-lookup style). For
-  * points >> memory the same cells become a shuffle key instead (the g_knn
-  * operator is that co-partitioned variant on a square lattice).
+  * Two co-partitioned expansion passes plus a brute-force tail:
+  *   pass 1: each query joins points in cells at hex distance <= 1
+  *           (7 probe cells), takes a window top-k by exact distance, and
+  *           is CERTIFIED if its k-th distance is strictly inside the
+  *           geometric lower bound for anything outside the searched disk;
+  *   pass 2: unresolved queries re-join at hex distance <= 3 (37 cells) —
+  *           the "iterative ring expansion with a secondary sort pass";
+  *   pass 3: still-unresolved queries fall back to brute force.
+  *
+  * Certification bound: after searching all cells at hex distance <= D,
+  * any unseen point sits in a cell at hex distance >= D+1, i.e. at least
+  * HexCells.minRingDist(res, D+1) from the query's CELL CENTER (exact
+  * polygon geometry — the ring boundary's re-entrant valley vertices make
+  * this strictly smaller than the big-hexagon inradius), minus r0 for the
+  * query's own offset within its cell. STRICT <: squared distances reach
+  * ~1.3e19, past 2^53 double exactness, so boundary ties must fall through
+  * to the brute pass where the oracle's (d, pid) order decides.
+  *
+  * Distances are (dx*dx + dy*dy) in DOUBLE over exact int32 operands —
+  * IEEE-deterministic and identical in any engine; ties break on pid.
   */
 object KnnHex {
 
   def apply(points: DataFrame, queries: DataFrame, k: Int, res: Int): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-
-    val pts = points.select(col("id").cast("long"), col("lon").cast("int"), col("lat").cast("int"))
-      .as[(Long, Int, Int)].collect()
-    val buckets: Map[(Int, Int), Array[(Long, Int, Int)]] =
-      pts.groupBy(p => HexCells.cell(p._2, p._3, res))
-    val bucketsB = spark.sparkContext.broadcast(buckets)
-    val total = pts.length
     val r0 = HexCells.radius(res)
-    val ringStep = math.sqrt(3.0) * r0
+    def lbSq(d: Int): Double = {
+      val lb = math.max(0.0, HexCells.minRingDist(res, d) - r0)
+      lb * lb
+    }
 
-    queries.select(col("id").cast("long"), col("lon").cast("int"), col("lat").cast("int"))
-      .as[(Long, Int, Int)]
-      .mapPartitions { it =>
-        val bks = bucketsB.value
-        it.flatMap { case (qid, qlon, qlat) =>
-          val (cq, cr) = HexCells.cell(qlon, qlat, res)
-          val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-          var seen = 0
-          var ring = 0
-          var done = false
-          while (!done) {
-            for ((bq, br) <- HexCells.ring(cq, cr, ring)) {
-              bks.get((bq, br)).foreach { arr =>
-                for ((pid, plon, plat) <- arr) {
-                  seen += 1
-                  if (pid != qid) {
-                    val dx = (qlon.toDouble - plon); val dy = (qlat.toDouble - plat)
-                    cand += ((dx * dx + dy * dy, pid))
-                  }
-                }
-              }
-            }
-            // secondary sort pass over the accumulated candidates
-            val sorted = cand.sortBy(identity)
-            val kth = if (sorted.length >= k) sorted(k - 1)._1 else Double.PositiveInfinity
-            val lower = math.max(0.0, (ring + 1) * ringStep - 2 * r0)
-            if ((sorted.length >= k && kth <= lower * lower) || seen >= total) done = true
-            else ring += 1
-          }
-          cand.sortBy(identity).take(k).zipWithIndex.map { case ((_, pid), i) =>
-            (qid, (i + 1).toLong, pid)
-          }
-        }
-      }
-      .toDF("qid", "rk", "pid")
+    val cellU = udf { (lon: Int, lat: Int) =>
+      val (q, r) = HexCells.cell(lon, lat, res)
+      HexCells.pack(res, q, r)
+    }
+    def probeU(maxD: Int) = udf { (lon: Int, lat: Int) =>
+      val (q, r) = HexCells.cell(lon, lat, res)
+      (0 to maxD).flatMap(d => HexCells.ring(q, r, d))
+        .map { case (a, b) => HexCells.pack(res, a, b) }.toArray
+    }
+
+    val pts = points
+      .select(col("id").cast("long").as("pid"),
+        col("lon").cast("int").as("plon"), col("lat").cast("int").as("plat"))
+      .withColumn("pcell", cellU(col("plon"), col("plat")))
+    val qs = queries.select(col("id").cast("long").as("qid"),
+      col("lon").cast("int").as("qlon"), col("lat").cast("int").as("qlat"))
+
+    val dist: Column =
+      (col("qlon").cast("double") - col("plon")) * (col("qlon").cast("double") - col("plon")) +
+        (col("qlat").cast("double") - col("plat")) * (col("qlat").cast("double") - col("plat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("pid"))
+
+    /** one expansion pass: co-partitioned cell join out to hex distance
+      * maxD, per-query top-k, and the certified/unresolved split. */
+    def pass(qSet: DataFrame, maxD: Int): (DataFrame, DataFrame) = {
+      val topk = qSet
+        .withColumn("jcell", explode(probeU(maxD)(col("qlon"), col("qlat"))))
+        .join(pts, col("jcell") === col("pcell") && col("qid") =!= col("pid"))
+        .withColumn("d", dist)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+      val certified = topk.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
+        .filter(col("n") === k && col("kth") < lit(lbSq(maxD + 1)))
+        .select("qid")
+      val resolved = topk.join(certified, Seq("qid"), "left_semi")
+      val unresolved = qSet.join(certified, Seq("qid"), "left_anti")
+      (resolved, unresolved)
+    }
+
+    val (res1, un1) = pass(qs, 1)
+    val (res2, un2) = pass(un1, 3)
+    val brute = un2
+      .join(pts, col("qid") =!= col("pid"))
+      .withColumn("d", dist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+
+    res1.select("qid", "rk", "pid")
+      .unionByName(res2.select("qid", "rk", "pid"))
+      .unionByName(brute.select("qid", "rk", "pid"))
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"))
   }
 }

@@ -55,8 +55,11 @@ object MultimodalQueries {
     },
 
     // decode -> 2x nearest-neighbour downsample in the same mapPartitions
-    // batch (the resize/frame-sample plumbing; rows-only)
-    QueryDef.rowsOnly("m_img_resize") { (s, dir) =>
+    // batch (the resize/frame-sample plumbing). The decoded pixels are not
+    // SQL-derivable, so the oracle is the frozen expected table from the
+    // deterministic seed (FrozenOracles; invariants re-proved in
+    // MultimodalSpec).
+    QueryDef.sql("m_img_resize", FrozenOracles.mImgResize) { (s, dir) =>
       val spark = s
       import spark.implicits._
       ImageTable.withBytes(ImageTable.df(s, dir))
@@ -89,8 +92,8 @@ object MultimodalQueries {
         .orderBy("image_id")
     },
 
-    // per-row invariant flags (engine-side decode; rows-only check)
-    QueryDef.rowsOnly("m_img_invariant") { (s, dir) =>
+    // per-row invariant flags (engine-side decode; frozen expected table)
+    QueryDef.sql("m_img_invariant", FrozenOracles.mImgInvariant) { (s, dir) =>
       decoded(ImageTable.withBytes(ImageTable.df(s, dir)))
         .select(col("image_id"), col("mean_luma"),
           col("psnr_ok").cast("string").as("psnr_ok"),

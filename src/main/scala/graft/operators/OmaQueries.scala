@@ -11,7 +11,10 @@ import graft.oma._
 object OmaQueries {
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("oma_pipeline") { (s, _) =>
+    // fixture-driven (input-independent): the oracle is the frozen expected
+    // chunk structure, which OmaGoldenSpec independently diffs against the
+    // reference oma.jar output
+    QueryDef.sql("oma_pipeline", FrozenOracles.omaPipeline) { (s, _) =>
       import s.implicits._
       val res = OmaPipeline.run(s, OsmXml.write(Fixtures.fixture),
         Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = false, oneElement = false)
@@ -23,7 +26,7 @@ object OmaQueries {
         .orderBy("chunk")
     },
 
-    QueryDef.rowsOnly("oma_reunify") { (s, _) =>
+    QueryDef.sql("oma_reunify", FrozenOracles.omaReunify) { (s, _) =>
       val (_, els) = ReunifySpark.reunify(s, Fixtures.fixture)
       els.groupBy(col("kind")).agg(
           count(lit(1)).as("n"),

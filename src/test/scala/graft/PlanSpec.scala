@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected >=4 HashAggregate nodes, got $aggs\n$p")
   }
 
+  test("similarity operators contain no cartesian / nested-loop joins") {
+    for (name <- Seq("e_cosine_dup", "e_ann_topk")) {
+      val q = operators.EmbedQueries.defs.find(_.name == name).get
+      val p = plan(q.fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+    val j = operators.DocQueries.defs.find(_.name == "d_minhash_lsh").get
+    val pj = plan(j.fn(spark, dir))
+    assert(!pj.contains("CartesianProduct"), pj)
+    assert(!pj.contains("BroadcastNestedLoopJoin"), pj)
+  }
+
   test("pip mask expression stays codegen'd") {
     val df = sources.ImageTable.df(spark, dir)
       .select(operators.Pip.mask(col("lon"), col("lat"), operators.Pip.fixtureSet).as("m"))
