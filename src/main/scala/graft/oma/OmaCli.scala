@@ -1,0 +1,126 @@
+package graft.oma
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the OSM -> .oma conversion — the engine's
+  * equivalent of the reference CLI (Oma.java:139-242 argument surface):
+  *
+  *   spark-submit --class graft.oma.OmaCli omaspark.jar \
+  *     [-b bbs-file] [-t type-file] [-p id,version,timestamp,changeset,user|all|none]
+  *     [-0] [-1] [-v] input.osm [output.oma]
+  *
+  * Flags mirror the reference: -b/-t override the built-in default.bbs /
+  * type config, -p selects the metadata features bitmask, -0 disables slice
+  * compression, -1 adds each element only once. The reference's memory/tmp
+  * knobs (-m, -c, -tmp, Oma.java:155-162) have no Spark equivalent — the
+  * shuffle replaces its out-of-core temp streams — and O5M/PBF inputs are
+  * designed out (SURVEY §2.1), so the input must be OSM XML.
+  */
+object OmaCli {
+
+  final case class Args(input: Path, output: Path, bbs: String, typ: String,
+                        features: Int, zip: Boolean, oneElement: Boolean, verbose: Int)
+
+  def usage(error: String): Nothing = {
+    if (error != null) System.err.println(s"Error: $error\n")
+    System.err.println(
+      """Usage: spark-submit --class graft.oma.OmaCli omaspark.jar [options] <input.osm> [<output.oma>]
+        |
+        |Options:
+        |  -b <bbs-file>   bbs-file; default: built-in (reference default.bbs)
+        |  -t <type-file>  type-file; default: built-in minimal config
+        |  -p <list>       data to preserve (id,version,timestamp,changeset,user,
+        |                                    all,none); default: none
+        |  -0              do not zip slices
+        |  -1              add each element only once
+        |  -v              increase verboseness
+        |  --help          print this help""".stripMargin)
+    sys.exit(if (error != null) -1 else 0)
+  }
+
+  def parse(argv: Array[String]): Args = {
+    var bbs = graft.core.Bbs.DefaultBbs
+    var typ = TypeConfig.Minimal
+    var features = 0
+    var zip = true
+    var oneElement = false
+    var verbose = 0
+    var input: Path = null
+    var output: Path = null
+    var pos = 0
+    def arg(name: String): String = {
+      if (pos == argv.length - 1) usage(s"missing parameter after '$name'")
+      pos += 1; argv(pos)
+    }
+    while (pos < argv.length) {
+      val a = argv(pos)
+      if (a.isEmpty) usage("empty argument")
+      else if (a == "--help") usage(null)
+      else if (a == "-v") verbose += 1
+      else if (a == "-0") zip = false
+      else if (a == "-1") oneElement = true
+      else if (a == "-b") bbs = Files.readString(Paths.get(arg("-b")))
+      else if (a == "-t") typ = Files.readString(Paths.get(arg("-t")))
+      else if (a == "-p") features = parsePreserve(arg("-p"))
+      else if (a.startsWith("-")) usage(s"unknown option '$a'")
+      else {
+        if (pos != argv.length - 1 && pos != argv.length - 2)
+          usage("additional arguments after filename(s)")
+        input = Paths.get(a).toAbsolutePath
+        output =
+          if (pos < argv.length - 1) Paths.get(argv(pos + 1)).toAbsolutePath
+          else {
+            val n = input.getFileName.toString
+            val base = if (n.contains('.')) n.substring(0, n.lastIndexOf('.')) else n
+            input.resolveSibling(base + ".oma")
+          }
+        pos = argv.length
+      }
+      pos += 1
+    }
+    if (input == null) usage("no input file given")
+    Args(input, output, bbs, typ, features, zip, oneElement, verbose)
+  }
+
+  /** '-p' list -> features bitmask (Oma.java setPreserve semantics). */
+  def parsePreserve(s: String): Int = {
+    val toks = s.split(",").toSeq
+    if (toks.contains("all")) {
+      if (toks.length != 1) usage("'-p all' cannot be mixed with other values")
+      OmaWire.FeatId | OmaWire.FeatVersion | OmaWire.FeatTimestamp |
+        OmaWire.FeatChangeset | OmaWire.FeatUser
+    } else if (toks.contains("none")) {
+      if (toks.length != 1) usage("'-p none' cannot be mixed with other values")
+      0
+    } else toks.foldLeft(0) { (f, t) =>
+      f | (t match {
+        case "id" => OmaWire.FeatId
+        case "version" => OmaWire.FeatVersion
+        case "timestamp" => OmaWire.FeatTimestamp
+        case "changeset" => OmaWire.FeatChangeset
+        case "user" => OmaWire.FeatUser
+        case other => usage(s"unknown value '$other' for option '-p'")
+      })
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    // getOrCreate: under spark-submit the session comes preconfigured from
+    // the cluster; standalone runs fall back to these local defaults
+    val spark = SparkSession.builder()
+      .appName("omaspark-convert")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    if (a.verbose == 0) spark.sparkContext.setLogLevel("WARN")
+
+    val xml = Files.readString(a.input)
+    if (a.verbose >= 1) System.err.println(s"converting ${a.input} -> ${a.output}")
+    val res = OmaPipeline.run(spark, xml, a.bbs, a.typ, a.features, a.zip, a.oneElement)
+    Files.write(a.output, res.bytes)
+    if (a.verbose >= 1)
+      System.err.println(s"wrote ${res.bytes.length} bytes, ${res.parsed.chunks.length} chunks")
+    spark.stop()
+  }
+}

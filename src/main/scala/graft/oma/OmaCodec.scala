@@ -302,13 +302,54 @@ object OmaWriter {
     if ((f & FeatUser) != 0) { out.writeInt(meta.uid); out.writeString(if (meta.user == null) "" else meta.user) }
   }
 
-  /** Assemble a full .oma file. `chunks` carries, per chunk, its type,
-    * bounds and ordered blocks of ordered slices of pre-ordered elements
-    * (each a writeElement thunk).
+  /** Serialize ONE chunk's body — block table, slice tables, payloads — to
+    * position-independent bytes: every offset inside a chunk is chunk- or
+    * block-RELATIVE (TypeAnalysis.java:528-694 semantics), and the delta
+    * state resets per slice, so chunk bodies can be produced on EXECUTORS
+    * in parallel and the driver only concatenates them and patches the
+    * chunk table (the distributed sink shape; see OmaPipeline).
     */
-  def writeFile(features: Int, bbox: Bbox, zip: Boolean,
-                catalog: Seq[(Char, Seq[(String, Seq[String])])],
-                chunks: Seq[(Char, Bbox, Seq[(String, Seq[(String, Seq[(OmaBuf, DeltaState) => Unit])])])]): Array[Byte] = {
+  def writeChunkBody(blocks: Seq[(String, Seq[(String, Seq[(OmaBuf, DeltaState) => Unit])])],
+                     zip: Boolean): Array[Byte] = {
+    val out = new OmaBuf
+    val blockTableJump = out.size
+    out.writeInt(0)
+    val blockOffsets = blocks.map { case (key, slices) =>
+      val blockStart = out.size
+      val sliceTableJump = out.size
+      out.writeInt(0)
+      val sliceOffsets = slices.map { case (value, els) =>
+        val sliceStart = out.size
+        out.writeInt(els.length)
+        val payload = new OmaBuf
+        val ds = new DeltaState
+        els.foreach(f => f(payload, ds))
+        if (zip) {
+          val z = deflate(payload.toBytes)
+          out.writeInt(z.length)
+          out.write(z)
+        } else out.write(payload.toBytes)
+        (sliceStart - blockStart, value)
+      }
+      out.patchInt(sliceTableJump, out.size - blockStart)
+      out.writeSmallInt(sliceOffsets.length)
+      sliceOffsets.foreach { case (off, v) => out.writeInt(off); out.writeString(v) }
+      (blockStart, key)
+    }
+    out.patchInt(blockTableJump, out.size)
+    out.writeSmallInt(blockOffsets.length)
+    blockOffsets.foreach { case (off, k) => out.writeInt(off); out.writeString(k) }
+    out.toBytes
+  }
+
+  /** Assemble a full .oma file from per-chunk pre-serialized bodies: write
+    * the header, concatenate the bodies (recording each chunk's start
+    * offset), then write the chunk table — the only driver-side work in the
+    * distributed sink.
+    */
+  def writeFileFromParts(features: Int, bbox: Bbox, zip: Boolean,
+                         catalog: Seq[(Char, Seq[(String, Seq[String])])],
+                         parts: Seq[(Char, Bbox, Array[Byte])]): Array[Byte] = {
     val out = new OmaBuf
     out.writeByte('O'); out.writeByte('M'); out.writeByte('A'); out.writeByte(1)
     out.writeByte(features)
@@ -344,38 +385,10 @@ object OmaWriter {
 
     out.writeByte(0) // end of header
 
-    // chunks
     val table = new ArrayBuffer[(Long, Char, Bbox)]
-    chunks.foreach { case (ctype, cb, blocks) =>
-      val chunkStart = out.size
-      table += ((chunkStart.toLong, ctype, cb))
-      val blockTableJump = out.size
-      out.writeInt(0)
-      val blockOffsets = blocks.map { case (key, slices) =>
-        val blockStart = out.size
-        val sliceTableJump = out.size
-        out.writeInt(0)
-        val sliceOffsets = slices.map { case (value, els) =>
-          val sliceStart = out.size
-          out.writeInt(els.length)
-          val payload = new OmaBuf
-          val ds = new DeltaState
-          els.foreach(f => f(payload, ds))
-          if (zip) {
-            val z = deflate(payload.toBytes)
-            out.writeInt(z.length)
-            out.write(z)
-          } else out.write(payload.toBytes)
-          (sliceStart - blockStart, value)
-        }
-        out.patchInt(sliceTableJump, out.size - blockStart)
-        out.writeSmallInt(sliceOffsets.length)
-        sliceOffsets.foreach { case (off, v) => out.writeInt(off); out.writeString(v) }
-        (blockStart - chunkStart, key)
-      }
-      out.patchInt(blockTableJump, out.size - chunkStart)
-      out.writeSmallInt(blockOffsets.length)
-      blockOffsets.foreach { case (off, k) => out.writeInt(off); out.writeString(k) }
+    parts.foreach { case (ctype, cb, body) =>
+      table += ((out.size.toLong, ctype, cb))
+      out.write(body)
     }
 
     // chunk table + header patch
@@ -388,4 +401,12 @@ object OmaWriter {
     out.patchLong(chunkTablePtrPos, tableStart.toLong)
     out.toBytes
   }
+
+  /** Single-process convenience: serialize chunk bodies inline, then
+    * assemble (same bytes as the distributed path by construction). */
+  def writeFile(features: Int, bbox: Bbox, zip: Boolean,
+                catalog: Seq[(Char, Seq[(String, Seq[String])])],
+                chunks: Seq[(Char, Bbox, Seq[(String, Seq[(String, Seq[(OmaBuf, DeltaState) => Unit])])])]): Array[Byte] =
+    writeFileFromParts(features, bbox, zip, catalog,
+      chunks.map { case (t, b, blocks) => (t, b, writeChunkBody(blocks, zip)) })
 }

@@ -7,9 +7,13 @@ import graft.core.{Bbox, Bbs, Geo, TileIndex}
   * (ChunkGenerator.java:549-574 — the two-level prechunk detour is replaced
   * by Spark's shuffle; the ASSIGNMENT is identical), type classification and
   * block/slice grouping (TypeAnalysis.java:399-637), and the final .oma
-  * container write. At fixture scale the single sequential file is built on
-  * the driver from the collected, ordered rows; at 100 TB the same rows
-  * stream to per-tile part files through the lineage layer instead.
+  * container write. The sink is DISTRIBUTED: chunk bodies are serialized on
+  * executors (repartition by chunk key + sortWithinPartitions, one byte
+  * blob per chunk — offsets inside a chunk are relative, TypeAnalysis.java:
+  * 639-712), and the driver only concatenates the bodies and patches the
+  * chunk table. Driver memory is O(total chunk bytes), never O(elements);
+  * the lineage layer (TileLineage) is the per-tile parquet variant of the
+  * same layout for resumable 100 TB runs.
   */
 object OmaPipeline {
 
@@ -140,47 +144,72 @@ object OmaPipeline {
       classifyElement(cfgB.value, oneElement, e, tile)
     }
 
-    // deterministic global order, then assemble the container on the driver
-    val rows = classified
-      .orderBy($"kindRank", $"tile", $"subPass", $"blockIdx", $"sliceOrder", $"sliceValue", $"seq")
-      .collect()
-
     val catalog = Seq(
       'N' -> cfg.nodeKeys.zip(cfg.nodeValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq,
       'W' -> cfg.wayKeys.zip(cfg.wayValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq,
       'A' -> cfg.wayKeys.zip(cfg.areaValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq,
       'C' -> cfg.collKeys.zip(cfg.collValues.map(_.toSeq)).map { case (k, v) => (k, v) }.toSeq)
 
-    // group: chunk -> block -> slice, preserving the sorted order
-    val chunks = groupOrdered(rows)(r => (r.kindRank, r.tile, r.subPass)).map { case (ck, chunkRows) =>
-      val outKind = chunkRows.head.outKind.charAt(0)
-      val cb = if (ck._2 < index.bounds.length) index.bounds(ck._2) else Bbox.NoBounds
-      val keys = cfg.keysFor(outKind)
-      val blocks = groupOrdered(chunkRows)(_.blockIdx).map { case (bIdx, blockRows) =>
-        val key = if (bIdx == keys.length) "" else keys(bIdx)
-        val slices = groupOrdered(blockRows)(r => (r.sliceOrder, r.sliceValue)).map { case ((_, v), sliceRows) =>
-          // slice content order = chunk input order
-          val els = sliceRows.sortBy(_.seq).map { r => (out: OmaBuf, ds: DeltaState) =>
-            val (lo, la, hLo, hLa) =
-              if (outKind == 'A') {
-                // write-time ring normalization (Area.sortRings)
-                val l = r.lon.clone(); val a = r.lat.clone()
-                val hl = r.holesLon.map(_.clone()); val ha = r.holesLat.map(_.clone())
-                Geo.normalizeRings(l, a, hl, ha)
-                (l, a, hl, ha)
-              } else (r.lon, r.lat, r.holesLon, r.holesLat)
-            OmaWriter.writeElement(out, ds, outKind, features, lo, la, hLo, hLa,
-              r.tags.toSeq.sortBy(_._1), r.members.toIndexedSeq, r.meta)
+    // DISTRIBUTED sink: repartition by chunk key so every chunk's rows land
+    // whole in one partition, sort within partitions (block -> slice ->
+    // input seq), and serialize each chunk to position-independent bytes in
+    // the executors (chunk-internal offsets are chunk-relative and the
+    // delta codec resets per slice). The driver only concatenates the
+    // per-chunk bodies in chunk-table order and patches the offsets —
+    // nothing element-level ever crosses to the driver.
+    val zipCap = zip
+    val featuresCap = features
+    val parts = classified
+      .repartition($"kindRank", $"tile", $"subPass")
+      .sortWithinPartitions("kindRank", "tile", "subPass", "blockIdx", "sliceOrder", "sliceValue", "seq")
+      .mapPartitions { it =>
+        val cfgL = cfgB.value
+        val bit = it.buffered
+        new Iterator[(Int, Int, Int, String, Array[Byte])] {
+          def hasNext: Boolean = bit.hasNext
+          def next(): (Int, Int, Int, String, Array[Byte]) = {
+            val h = bit.head
+            val ck = (h.kindRank, h.tile, h.subPass)
+            val chunkRows = scala.collection.mutable.ArrayBuffer.empty[ClassifiedRow]
+            while (bit.hasNext &&
+              (bit.head.kindRank, bit.head.tile, bit.head.subPass) == ck) chunkRows += bit.next()
+            val outKind = chunkRows.head.outKind.charAt(0)
+            val keys = cfgL.keysFor(outKind)
+            val blocks = groupOrdered(chunkRows.toSeq)(_.blockIdx).map { case (bIdx, blockRows) =>
+              val key = if (bIdx == keys.length) "" else keys(bIdx)
+              val slices = groupOrdered(blockRows)(r => (r.sliceOrder, r.sliceValue)).map {
+                case ((_, v), sliceRows) =>
+                  // rows arrive sorted by seq: slice content order = chunk input order
+                  val els = sliceRows.map { r => (out: OmaBuf, ds: DeltaState) =>
+                    val (lo, la, hLo, hLa) =
+                      if (outKind == 'A') {
+                        // write-time ring normalization (Area.sortRings)
+                        val l = r.lon.clone(); val a = r.lat.clone()
+                        val hl = r.holesLon.map(_.clone()); val ha = r.holesLat.map(_.clone())
+                        Geo.normalizeRings(l, a, hl, ha)
+                        (l, a, hl, ha)
+                      } else (r.lon, r.lat, r.holesLon, r.holesLat)
+                    OmaWriter.writeElement(out, ds, outKind, featuresCap, lo, la, hLo, hLa,
+                      r.tags.toSeq.sortBy(_._1), r.members.toIndexedSeq, r.meta)
+                  }
+                  (v, els)
+              }
+              (key, slices)
+            }
+            (ck._1, ck._2, ck._3, outKind.toString, OmaWriter.writeChunkBody(blocks, zipCap))
           }
-          (v, els.toSeq)
         }
-        (key, slices)
       }
-      (outKind, cb, blocks)
+      .collect()
+      .sortBy(p => (p._1, p._2, p._3)) // deterministic chunk-table order
+
+    val chunkParts = parts.toSeq.map { case (_, tile, _, kindStr, body) =>
+      val cb = if (tile < index.bounds.length) index.bounds(tile) else Bbox.NoBounds
+      (kindStr.charAt(0), cb, body)
     }
 
     val feat = features | (if (oneElement) OmaWire.FeatOneElement else 0)
-    val bytes = OmaWriter.writeFile(feat, headerBbox, zip, catalog, chunks)
+    val bytes = OmaWriter.writeFileFromParts(feat, headerBbox, zip, catalog, chunkParts)
     Result(bytes, OmaReader.read(bytes))
   }
 

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.oma._
+
+/** The spark-submit conversion CLI: flag surface mirrors the reference
+  * (Oma.java:139-242) and the end-to-end run produces a parseable .oma.
+  */
+class OmaCliSpec extends AnyFunSuite {
+
+  test("argument parsing mirrors the reference surface") {
+    val tmp = Files.createTempDirectory("omacli")
+    val bbs = tmp.resolve("my.bbs"); Files.writeString(bbs, Fixtures.smallBbs)
+    val typ = tmp.resolve("my.type"); Files.writeString(typ, TypeConfig.Minimal)
+    val a = OmaCli.parse(Array("-b", bbs.toString, "-t", typ.toString,
+      "-p", "id,timestamp", "-0", "-1", "-v", "/tmp/in.osm"))
+    assert(a.bbs == Fixtures.smallBbs)
+    assert(a.features == (OmaWire.FeatId | OmaWire.FeatTimestamp))
+    assert(!a.zip && a.oneElement && a.verbose == 1)
+    assert(a.output.toString.endsWith("/tmp/in.oma")) // default output name
+    assert(OmaCli.parsePreserve("all") ==
+      (OmaWire.FeatId | OmaWire.FeatVersion | OmaWire.FeatTimestamp |
+        OmaWire.FeatChangeset | OmaWire.FeatUser))
+    assert(OmaCli.parsePreserve("none") == 0)
+  }
+
+  test("end-to-end conversion writes a parseable .oma with the fixture's chunks") {
+    val tmp = Files.createTempDirectory("omacli")
+    val in = tmp.resolve("fixture.osm")
+    Files.writeString(in, OsmXml.write(Fixtures.fixture))
+    val out = tmp.resolve("fixture.oma")
+    val bbs = tmp.resolve("f.bbs"); Files.writeString(bbs, Fixtures.smallBbs)
+    // spark.master injected by spark-submit in production; set for the test
+    System.setProperty("spark.master", "local[2]")
+    try OmaCli.main(Array("-b", bbs.toString, "-p", "all", in.toString, out.toString))
+    finally System.clearProperty("spark.master")
+    val parsed = OmaReader.read(Files.readAllBytes(out))
+    assert(parsed.chunks.nonEmpty)
+    assert(parsed.chunks.flatMap(_.blocks).flatMap(_.slices).map(_.elements.size).sum > 0)
+  }
+}
