@@ -49,7 +49,11 @@ object Bench {
       },
       "minhash_lsh" -> operators.DocQueries.defs.find(_.name == "d_minhash_lsh").get
         .fn(s, sfDir).limit(1000000),
-      "topk_mips" -> operators.EmbedQueries.defs.find(_.name == "e_topk_mips").get
+      // the bucket+multiprobe ANN join (the scale path) replaces the
+      // round-1 brute-force topk_mips headline entry
+      "ann_topk" -> operators.EmbedQueries.defs.find(_.name == "e_ann_topk").get
+        .fn(s, sfDir),
+      "cosine_dup" -> operators.EmbedQueries.defs.find(_.name == "e_cosine_dup").get
         .fn(s, sfDir),
       "join_pricing" -> operators.RelationalQueries.defs.find(_.name == "q_join_pricing").get
         .fn(s, sfDir)

@@ -44,14 +44,12 @@ object EmbedQueries {
   lazy val hyperplanes: Array[Array[Long]] = hyperplanes32.take(8)
 
   /** Spark column: sign-bit integer over hyperplanes [from, until) of the
-    * quantized vector column `v` (bit p-from of the result = plane p). */
+    * quantized vector column `v` (bit p-from of the result = plane p) — a
+    * native codegen expression (graft.plans.HyperplaneBits), NOT the
+    * equivalent 32 x aggregate(zip_with(...)) formulation, which is
+    * CodegenFallback and re-interprets a ~2k-node tree per row per branch. */
   private def bitsCol(from: Int, until: Int): Column =
-    (from until until).map { p =>
-      val w = hyperplanes32(p)
-      val wArr = s"array(${w.mkString("L, ")}L)"
-      val proj = expr(s"aggregate(zip_with($wArr, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e)")
-      when(proj >= 0, lit(1L << (p - from))).otherwise(0L)
-    }.reduce(_ + _)
+    graft.plans.HyperplaneBits(col("v"), hyperplanes32, from, until)
 
   /** DuckDB SQL for the same sign-bit integer over column `v`. */
   private def bitsSql(from: Int, until: Int): String =
@@ -61,9 +59,10 @@ object EmbedQueries {
       s"CASE WHEN ($proj) >= 0 THEN ${1L << (p - from)} ELSE 0 END"
     }.mkString(" + ")
 
-  /** exact integer inner product of two quantized-vector columns. */
+  /** exact integer inner product of two quantized-vector columns — native
+    * codegen kernel (graft.plans.LongDot), the per-candidate hot path. */
   private def ip(x: String, y: String): Column =
-    expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0L, (acc, e) -> acc + e)")
+    graft.plans.LongDot(col(x), col(y))
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -59,6 +59,23 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected >=4 HashAggregate nodes, got $aggs\n$p")
   }
 
+  test("hyperplane-bits and long-dot kernels stay inside codegen") {
+    import spark.implicits._
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val df = v.select(
+      plans.HyperplaneBits($"v", operators.EmbedQueries.hyperplanes32, 0, 32).as("bits"),
+      plans.LongDot($"v", $"v").as("dot"))
+    val p = plan(df)
+    assert(p.linesIterator.exists(_.trim.contains("* Project")), p) // whole-stage codegen span
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(1) > 0)) // self-dot of a nonzero vector
+    // kernel semantics vs the declarative formulation on a constant input
+    val ones = Seq((1L, Seq.fill(64)(1L))).toDF("vec_id", "v")
+      .select(plans.LongDot($"v", $"v")).collect()(0).getLong(0)
+    assert(ones == 64L)
+  }
+
   test("similarity operators contain no cartesian / nested-loop joins") {
     for (name <- Seq("e_cosine_dup", "e_ann_topk")) {
       val q = operators.EmbedQueries.defs.find(_.name == name).get
