@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   def session(cpus: String): SparkSession = {
+    // SPARK_GRAFT_SHUFFLE pins the shuffle width independently of core
+    // count: the two-cluster-size scaling runs use the SAME partition count
+    // at local[8] and local[32] so the shuffle structure is identical and
+    // only the executor parallelism varies (smaller tasks also balance
+    // better under bursty hypervisor steal)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -117,6 +117,11 @@ object OmaCli {
 
     val xml = Files.readString(a.input)
     if (a.verbose >= 1) System.err.println(s"converting ${a.input} -> ${a.output}")
+    if (a.verbose >= 2) {
+      val in = OsmXml.parse(xml)
+      System.err.println(s"ingest: ${in.nodes.size} nodes, ${in.ways.size} ways, " +
+        s"${in.rels.size} relations, ${in.discardedTags} discardable tags dropped")
+    }
     val res = OmaPipeline.run(spark, xml, a.bbs, a.typ, a.features, a.zip, a.oneElement)
     Files.write(a.output, res.bytes)
     if (a.verbose >= 1)

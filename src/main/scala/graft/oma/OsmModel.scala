@@ -13,8 +13,12 @@ final case class OsmNode(meta: Meta, lon: Int, lat: Int, tags: Map[String, Strin
 final case class OsmWay(meta: Meta, nds: Seq[Long], tags: Map[String, String])
 final case class OsmRelation(meta: Meta, members: Seq[OsmMember], tags: Map[String, String])
 
+/** @param discardedTags count of tag pairs dropped by the 49-key discard
+  *                       filter at ingest — the reference's A4 counter
+  *                       (ElementWithID.java:27-97), surfaced explicitly. */
 final case class OsmInput(bounds: Option[graft.core.Bbox],
-                          nodes: Seq[OsmNode], ways: Seq[OsmWay], rels: Seq[OsmRelation])
+                          nodes: Seq[OsmNode], ways: Seq[OsmWay], rels: Seq[OsmRelation],
+                          discardedTags: Long = 0L)
 
 /** Reverse membership link (reference Member.java): the id is the OWNING
   * collection-relation's id; nr is the member's position inside it.

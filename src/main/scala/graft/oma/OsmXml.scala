@@ -37,6 +37,12 @@ object OsmXml {
     var tags = Map.newBuilder[String, String]
     var nds = Seq.newBuilder[Long]
     var members = Seq.newBuilder[OsmMember]
+    var discarded = 0L
+    def keepTags(m: Map[String, String]): Map[String, String] = {
+      val kept = m.filterNot(t => Discardable(t._1))
+      discarded += m.size - kept.size
+      kept
+    }
 
     def basic(name: String, value: String): Unit = name match {
       case "id" => id = value.toLong
@@ -103,20 +109,20 @@ object OsmXml {
           r.getLocalName match {
             case "node" =>
               nodes += OsmNode(Meta(id, version, timestamp, changeset, uid, user),
-                lon, lat, tags.result().filterNot(t => Discardable(t._1)))
+                lon, lat, keepTags(tags.result()))
             case "way" =>
               ways += OsmWay(Meta(id, version, timestamp, changeset, uid, user),
-                nds.result(), tags.result().filterNot(t => Discardable(t._1)))
+                nds.result(), keepTags(tags.result()))
             case "relation" =>
               rels += OsmRelation(Meta(id, version, timestamp, changeset, uid, user),
-                members.result(), tags.result().filterNot(t => Discardable(t._1)))
+                members.result(), keepTags(tags.result()))
             case _ =>
           }
         case _ =>
       }
     }
     r.close()
-    OsmInput(bounds, nodes.result(), ways.result(), rels.result())
+    OsmInput(bounds, nodes.result(), ways.result(), rels.result(), discarded)
   }
 
   // -------------------------------------------------------------------------

@@ -2,45 +2,106 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.QueryDef
 
-/** Structured Streaming surface: the same tumbling-window aggregation as the
-  * batch path, but executed as a real streaming query (file source ->
-  * watermark -> windowed agg -> memory sink, drained synchronously). The
-  * DuckDB oracle is the batch-equivalent SQL — streaming and batch must
-  * agree on a bounded input.
+/** Structured Streaming surface, each operator executed as a REAL streaming
+  * query (file source -> transform -> memory sink, drained synchronously)
+  * and gated against the batch-equivalent DuckDB SQL — streaming and batch
+  * must agree on a bounded input:
+  *
+  *  - s_stream_window: watermark + tumbling-window aggregation
+  *  - s_stream_dedup:  streaming deduplication (dropDuplicates state store)
+  *  - s_stream_state:  custom per-key state via flatMapGroupsWithState
+  *    (running count / max per user; snapshots are monotone, so the final
+  *    state is recovered deterministically with max() over the update log
+  *    regardless of micro-batch boundaries)
   */
 object StreamQueries {
 
   @volatile private var counter = 0
+
+  /** Stage the single parquet into a directory (the file stream source
+    * wants a directory) and return a started-memory-sink drain helper. */
+  private def staged(dir: String, table: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_in_${(dir + table).hashCode.toHexString}")
+    java.nio.file.Files.createDirectories(p)
+    val target = p.resolve(s"$table.parquet")
+    if (!java.nio.file.Files.exists(target))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"), target)
+    p.toString
+  }
+
+  /** Run `build` as a streaming query into a memory sink, drain it, and
+    * return the pinned result of `finish` over the sink table. */
+  private def drain(s: SparkSession, mode: String)(build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
+                   (finish: DataFrame => DataFrame): DataFrame = {
+    val name = synchronized { counter += 1; s"graft_stream_out_$counter" }
+    val q = build(name).outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    val out = finish(s.table(name)).cache()
+    out.count() // pin results before stopping the stream
+    q.stop()
+    out
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_stream_window",
       s"""SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS ws, event_type, COUNT(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val name = { counter += 1; s"graft_stream_out_$counter" }
-      // the file stream source wants a directory; stage the single parquet
-      val staged = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_stream_in_${dir.hashCode.toHexString}")
-      java.nio.file.Files.createDirectories(staged)
-      val target = staged.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
-      val q = s.readStream.schema(schema).parquet(staged.toString)
-        .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ (session is UTC)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "5 minutes").getField("start").as("ws"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .start()
-      q.processAllAvailable()
-      val out = s.table(name).orderBy("ws", "event_type")
-      val materialized = out.cache()
-      materialized.count() // pin results before stopping the stream
-      q.stop()
-      materialized
+      drain(s, "complete") { _ =>
+        s.readStream.schema(schema).parquet(staged(dir, "events"))
+          .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ (session is UTC)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes").getField("start").as("ws"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+      }(_.orderBy("ws", "event_type"))
+    },
+
+    // streaming deduplication: the dropDuplicates state store emits each
+    // (user_id, event_type) pair once; the result SET is deterministic
+    // (batch DISTINCT) even though which physical row is kept is not
+    QueryDef.sql("s_stream_dedup",
+      s"""SELECT DISTINCT user_id, event_type FROM events
+         |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      drain(s, "append") { _ =>
+        s.readStream.schema(schema).parquet(staged(dir, "events"))
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+          .writeStream
+      }(_.orderBy("user_id", "event_type"))
+    },
+
+    // custom keyed state: running (count, max event id) per user via
+    // flatMapGroupsWithState in Update mode; every emitted snapshot is
+    // monotone in both fields, so max() over the update log equals the
+    // final state no matter how the source is micro-batched
+    QueryDef.sql("s_stream_state",
+      s"""SELECT user_id, COUNT(*) AS n, MAX(event_id) AS max_event_id
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      drain(s, "update") { _ =>
+        s.readStream.schema(schema).parquet(staged(dir, "events"))
+          .select(col("user_id"), col("event_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+            var (n, mx) = state.getOption.getOrElse((0L, Long.MinValue))
+            rows.foreach { case (_, eid) => n += 1; mx = math.max(mx, eid) }
+            state.update((n, mx))
+            Iterator((uid, n, mx))
+          }
+          .toDF("user_id", "n", "max_event_id")
+          .writeStream
+      }(_.groupBy("user_id")
+        .agg(max("n").as("n"), max("max_event_id").as("max_event_id"))
+        .orderBy("user_id"))
     }
   )
 }

@@ -25,6 +25,12 @@ class OmaCliSpec extends AnyFunSuite {
     assert(OmaCli.parsePreserve("none") == 0)
   }
 
+  test("ingest surfaces the discarded-tag counter (reference A4)") {
+    val in = OsmXml.parse(OsmXml.write(Fixtures.fixture))
+    assert(in.discardedTags == 1L) // the fixture carries exactly one created_by
+    assert(!in.nodes.exists(_.tags.contains("created_by")))
+  }
+
   test("end-to-end conversion writes a parseable .oma with the fixture's chunks") {
     val tmp = Files.createTempDirectory("omacli")
     val in = tmp.resolve("fixture.osm")
