@@ -282,6 +282,58 @@ object DocQueries {
         .filter(lit(3) * col("i") >= col("na") + col("nb"))
         .select("a", "b", "i", "na", "nb")
         .orderBy("a", "b")
+    },
+
+    // character-3-gram Jaccard (shingle near-dup, the n-gram variant of the
+    // pipeline): distinct 3-gram sets per doc, DF-capped (40%) like
+    // d_jaccard so ubiquitous shingles ("the", " th") never enter the
+    // equi-join. Capping removes exactly the shared mass, so the similarity
+    // scale compresses: J >= 0.2 on rare-gram sets (6*i >= na+nb, integer
+    // exact) is the discriminative band on this corpus (measured max
+    // rare-gram J = 0.24 vs 0.66 uncapped); 1-in-20 doc subset
+    QueryDef.sql("d_ngram_jaccard",
+      s"""WITH g0 AS (
+         |  SELECT DISTINCT doc_id, substr(text, i + 1, 3) AS gram
+         |  FROM documents, UNNEST(range(length(text) - 2)) AS t(i)
+         |  WHERE doc_id % 20 = 0),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM g0),
+         |keep AS (SELECT gram FROM g0 GROUP BY gram
+         |         HAVING 5 * COUNT(*) <= 2 * (SELECT n FROM nd)),
+         |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN keep USING (gram)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+         |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, i, sa.n AS na, sb.n AS nb
+         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE 6 * i >= sa.n + sb.n
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      // length guard: Spark's sequence(0, n) DESCENDS when n < 0 (a doc
+      // shorter than 3 chars would fabricate grams); DuckDB's range() is
+      // empty there, so the guard keeps the engines identical
+      val g0 = docs(s, dir).filter(col("doc_id") % 20 === 0 && length(col("text")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
+            .as("gram"))
+        .distinct()
+      val nd = g0.agg(countDistinct("doc_id").as("nd"))
+      val keep = g0.groupBy("gram").agg(count(lit(1)).as("dfc"))
+        .crossJoin(broadcast(nd))
+        .filter(lit(5) * col("dfc") <= lit(2) * col("nd"))
+        .select("gram")
+      val g = g0.join(keep, Seq("gram"), "left_semi")
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = g.as("x").join(g.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
+        .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+        .filter(lit(6) * col("i") >= col("na") + col("nb"))
+        .select("a", "b", "i", "na", "nb")
+        .orderBy("a", "b")
     }
   )
 }

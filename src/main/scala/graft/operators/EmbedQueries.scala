@@ -43,6 +43,12 @@ object EmbedQueries {
   }
   lazy val hyperplanes: Array[Array[Long]] = hyperplanes32.take(8)
 
+  /** 16 deterministic IVF centroids on the milli-quantized scale. */
+  val IvfLists = 16
+  lazy val ivfCentroids: Array[Array[Long]] = Array.tabulate(IvfLists, Dim) { (j, d) =>
+    PortableHash.h60(s"ivf:$j:$d") % 2001 - 1000
+  }
+
   /** Spark column: sign-bit integer over hyperplanes [from, until) of the
     * quantized vector column `v` (bit p-from of the result = plane p) — a
     * native codegen expression (graft.plans.HyperplaneBits), NOT the
@@ -128,6 +134,59 @@ object EmbedQueries {
       probes.join(p, col("pb") === col("pbucket") && col("pid") =!= col("qid"))
         .withColumn("dot", ip("qv", "pv"))
         .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
+        .orderBy("qid", "rk")
+    },
+
+    // IVF (inverted-file) ANN top-k: the coarse-quantizer variant of the
+    // scale path. Every vector is assigned to its nearest of 16
+    // deterministic centroids (exact integer L2, ties on centroid index);
+    // queries probe their 2 nearest lists; candidates meet in an equi-join
+    // on the list id; exact integer dot ranks within candidates. The
+    // centroid scoring side is a broadcast of 16 rows — the one place a
+    // broadcast nested-loop is the RIGHT plan.
+    QueryDef.sql("e_ivf_topk", {
+      val centVals = (0 until IvfLists).map { j =>
+        val c = ivfCentroids(j)
+        s"($j, [${c.mkString(", ")}]::BIGINT[])"
+      }.mkString(", ")
+      val l2 = "CAST(list_sum(list_transform(range(1, 65), i -> (v[i] - c[i]) * (v[i] - c[i]))) AS BIGINT)"
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> qv.v[i] * pv.v[i])) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
+         |cent AS (SELECT * FROM (VALUES $centVals) c(j, c)),
+         |d AS (SELECT vec_id, j, $l2 AS dist,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY $l2, j) AS crk
+         |      FROM v CROSS JOIN cent),
+         |asg AS (SELECT vec_id, j FROM d WHERE crk = 1),
+         |probes AS (SELECT vec_id AS qid, j FROM d WHERE crk <= 2 AND vec_id % 25 = 0),
+         |r AS (SELECT p.qid, a.vec_id AS pid, $dot AS dot,
+         |        row_number() OVER (PARTITION BY p.qid ORDER BY $dot DESC, a.vec_id) AS rk
+         |      FROM probes p JOIN asg a ON a.j = p.j AND a.vec_id <> p.qid
+         |      JOIN v qv ON qv.vec_id = p.qid JOIN v pv ON pv.vec_id = a.vec_id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val cent = ivfCentroids.zipWithIndex
+        .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("j", "c")
+      val v = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+      // exact L2 via dot identities: |v-c|^2 = v.v - 2 v.c + c.c (all BIGINT)
+      val l2 = ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c")
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
+      val d = v.crossJoin(broadcast(cent))
+        .withColumn("dist", l2)
+        .withColumn("crk", row_number().over(wC))
+      val asg = d.filter(col("crk") === 1)
+        .select(col("vec_id").as("pid"), col("v").as("pv"), col("j"))
+      val probes = d.filter(col("crk") <= 2 && col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("j"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dot").desc, col("pid"))
+      probes.join(asg, Seq("j")).filter(col("pid") =!= col("qid"))
+        .withColumn("dot", ip("qv", "pv"))
+        .withColumn("rk", row_number().over(wR))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
         .orderBy("qid", "rk")

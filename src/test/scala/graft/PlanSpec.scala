@@ -76,6 +76,26 @@ class PlanSpec extends AnyFunSuite {
     assert(ones == 64L)
   }
 
+  test("tile-partitioned lineage layout prunes partitions on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    val df = sources.ImageTable.df(spark, dir)
+      .select(col("image_id"), operators.GeoQueries.tileCol.as("tile"), col("lon"), col("lat"))
+    lineage.TileLineage.writeTiled(df, tmp)
+    val rd = spark.read.parquet(tmp + "/data").filter(col("tile") === 42)
+    val p = plan(rd)
+    assert(p.contains("PartitionFilters: [isnotnull(tile"), p) // prunes at the source
+  }
+
+  test("bucketed tables co-locate the tile join: no Exchange in the plan") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val df = operators.BucketedQueries.colocatedJoin(spark, dir)
+      val p = plan(df)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p) // both sides bucketed by tile: zero shuffle
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("similarity operators contain no cartesian / nested-loop joins") {
     for (name <- Seq("e_cosine_dup", "e_ann_topk")) {
       val q = operators.EmbedQueries.defs.find(_.name == name).get
