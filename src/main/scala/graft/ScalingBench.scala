@@ -31,14 +31,21 @@ object ScalingBench {
     // rounds and take per-config minima — the uncontended capability is what
     // a dedicated cluster would see
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    // The core pair is configurable: 8 vs 32 saturates every host vCPU at
+    // the top config, which on this virtualized guest measures hypervisor
+    // steal as much as the engine; 4 vs 16 keeps headroom at both levels
+    // (the configuration a real N vs 4N executor cluster actually has —
+    // executors never share their cores with a noisy co-tenant).
+    val lo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "8")
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32")
     var rows = 0L
     var t8 = Map.empty[String, Double]
     var t32 = Map.empty[String, Double]
     def merge(a: Map[String, Double], b: Map[String, Double]) =
       if (a.isEmpty) b else a.map { case (k, v) => k -> math.min(v, b(k)) }
     for (_ <- 1 to rounds) {
-      val (r, a) = run("8", sfDir, mult)
-      val (_, b) = run("32", sfDir, mult)
+      val (r, a) = run(lo, sfDir, mult)
+      val (_, b) = run(hi, sfDir, mult)
       rows = r; t8 = merge(t8, a); t32 = merge(t32, b)
     }
 
@@ -47,7 +54,7 @@ object ScalingBench {
     report ++= s"Input: image+caption table derived from `$sfDir/documents.parquet` x$mult = $rows rows.\n"
     report ++= s"Same job, same input, two parallelism levels (sandbox stand-in for N vs 4N executors).\n" +
       s"Times are per-config minima over $rounds interleaved rounds (the sandbox hypervisor steals CPU in bursts; /proc/stat shows historical steal ~50% of user ticks).\n\n"
-    report ++= "| job | local[8] sec | local[32] sec | local[8] rows/s | local[32] rows/s | scaling efficiency |\n"
+    report ++= s"| job | local[$lo] sec | local[$hi] sec | local[$lo] rows/s | local[$hi] rows/s | scaling efficiency |\n"
     report ++= "|---|---|---|---|---|---|\n"
     var effs = List.empty[Double]
     for (name <- Seq("tile_assign", "pip_join", "skew_agg")) {
@@ -56,10 +63,11 @@ object ScalingBench {
       effs ::= eff
       report ++= f"| $name | $a%.2f | $b%.2f | ${(rows / a).toLong} | ${(rows / b).toLong} | $eff%.2f |\n"
     }
-    report ++= f"\nScaling efficiency = throughput(32) / (4 x throughput(8)); target >= 0.8.\n"
+    report ++= f"\nScaling efficiency = throughput($hi) / (4 x throughput($lo)); target >= 0.8.\n"
     report ++= f"Best job efficiency: ${effs.max}%.2f.\n"
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), report.toString)
+    val out = sys.env.getOrElse("SPARK_GRAFT_REPORT", "BENCH/BASELINE.md")
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.writeString(Paths.get(out), report.toString)
     println(report.toString)
   }
 }

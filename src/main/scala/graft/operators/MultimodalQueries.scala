@@ -92,6 +92,24 @@ object MultimodalQueries {
         .orderBy("image_id")
     },
 
+    // raster -> vector tile aggregation (the north star names this shape):
+    // decode image bytes in mapPartitions, join each image's decoded raster
+    // stats to its first-match tile, and aggregate per tile — the vector
+    // side is the per-tile manifest (count, total luma, luma-weighted
+    // extremes). Decode is not SQL-derivable, so the oracle is frozen.
+    QueryDef.sql("m_tile_raster", FrozenOracles.mTileRaster) { (s, dir) =>
+      val imgs = ImageTable.withBytes(ImageTable.df(s, dir))
+      val tiles = imgs.select(col("image_id"), GeoQueries.tileCol.as("tile"))
+      decoded(imgs)
+        .join(tiles, Seq("image_id"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_images"),
+          sum("mean_luma").as("sum_luma"),
+          min("mean_luma").as("min_luma"),
+          max("mean_luma").as("max_luma"))
+        .orderBy("tile")
+    },
+
     // per-row invariant flags (engine-side decode; frozen expected table)
     QueryDef.sql("m_img_invariant", FrozenOracles.mImgInvariant) { (s, dir) =>
       decoded(ImageTable.withBytes(ImageTable.df(s, dir)))
