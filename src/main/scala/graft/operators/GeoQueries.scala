@@ -102,7 +102,9 @@ object GeoQueries {
          |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
       val pts = img(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
       val qs = pts.filter(col("id") % 50 === 0)
-      Knn(pts, qs, k = 3, cellSize = 64000000L)
+      // density-adaptive grid (size ~ sqrt(area*k/n)); the result is exact
+      // kNN for ANY cell size, so the oracle is unaffected
+      Knn(pts, qs, k = 3, cellSize = Knn.adaptiveCellSize(pts.count(), 3))
         .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"))
         .orderBy("qid", "rk")
     },
@@ -119,7 +121,7 @@ object GeoQueries {
          |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
       val pts = img(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
       val qs = pts.filter(col("id") % 40 === 0)
-      KnnHex(pts, qs, k = 5, res = 2)
+      KnnHex(pts, qs, k = 5, res = KnnHex.adaptiveRes(pts.count(), 5))
         .select(col("qid"), col("rk"), col("pid"))
         .orderBy("qid", "rk")
     },

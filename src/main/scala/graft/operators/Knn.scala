@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
 /** Exact k-nearest-neighbour join on fixed-point geotags.
   *
@@ -18,11 +18,29 @@ import org.apache.spark.sql.expressions.Window
   * so the product/sum are IEEE-deterministic and identical in any engine —
   * ties break on neighbour id. At scale, pass 1 is a co-partitioned
   * shuffle join on cell ids and pass 2 is empty for any sane cell size
-  * (size ~ sqrt(area*k/n) keeps candidates per block O(k)).
+  * (size ~ sqrt(area*k/n) keeps candidates per block O(k)) — use
+  * [[adaptiveCellSize]] rather than a fixed size so the candidate count
+  * stays O(k) per block at ANY density.
   */
 object Knn {
 
-  def apply(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): DataFrame = {
+  /** World area in the fixed-point 1e-7-degree coordinate space. */
+  val WorldArea: Double = 3.6e9 * 1.8e9
+
+  /** Grid size targeting ~k points per cell (~9k per 3x3 block): the
+    * size ~ sqrt(area*k/n) rule. With uniform density the expected points
+    * within the guaranteed radius is >= pi*k, so the uncertified fraction
+    * (Poisson(pi*k) < k) is well under 1% — the brute tail stays tiny at
+    * any scale instead of growing with density.
+    */
+  def adaptiveCellSize(n: Long, k: Int): Long =
+    math.max(1L, math.sqrt(WorldArea * k / math.max(1L, n).toDouble).toLong)
+
+  private case class Pass1(
+      local: DataFrame, certified: DataFrame, qs: DataFrame, pts: DataFrame,
+      dist: Column, w: WindowSpec)
+
+  private def pass1(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): Pass1 = {
     val cell = lit(cellSize)
     // floor(a / cell) on non-negative exact-int doubles is provably exact here
     def cx(c: Column) = floor((c.cast("long") + 1800000000L) / cell)
@@ -60,22 +78,38 @@ object Knn {
     // exactness, so an outside point at exactly the block-edge distance
     // could tie the k-th candidate; boundary ties must fall through to
     // the brute-force pass where the oracle's (d, pid) order decides.
-    val perQuery = local.groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
+    // Queries with zero pass-1 candidates never reach perQuery and are
+    // uncertified by the left_anti below.
+    val certified = local.groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
       .join(qs, Seq("qid"))
-      .withColumn("final", col("n") === k && col("kth") < margin * margin)
+      .filter(col("n") === k && col("kth") < margin * margin)
+      .select("qid")
 
-    val resolved = local.join(perQuery.filter(col("final")).select("qid"), Seq("qid"), "left_semi")
+    Pass1(local, certified, qs, pts, dist, w)
+  }
+
+  def apply(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): DataFrame = {
+    val p = pass1(points, queries, k, cellSize)
+
+    val resolved = p.local.join(p.certified, Seq("qid"), "left_semi")
 
     // pass 2: brute force for queries pass 1 could not certify
-    val unresolvedQs = qs.join(
-      perQuery.filter(col("final")).select("qid"), Seq("qid"), "left_anti")
-    val brute = unresolvedQs
-      .join(pts, col("qid") =!= col("pid"))
-      .withColumn("d", dist)
-      .withColumn("rk", row_number().over(w))
+    val brute = p.qs.join(p.certified, Seq("qid"), "left_anti")
+      .join(p.pts, col("qid") =!= col("pid"))
+      .withColumn("d", p.dist)
+      .withColumn("rk", row_number().over(p.w))
       .filter(col("rk") <= k)
 
     resolved.select("qid", "rk", "pid")
       .unionByName(brute.select("qid", "rk", "pid"))
+  }
+
+  /** Diagnostic: (certified, total) query counts after pass 1. The brute
+    * tail handles total - certified queries; callers (bench, specs) assert
+    * this stays a small fraction so the all-pairs tail never dominates.
+    */
+  def certStats(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): (Long, Long) = {
+    val p = pass1(points, queries, k, cellSize)
+    (p.certified.count(), p.qs.count())
   }
 }

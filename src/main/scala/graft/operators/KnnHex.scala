@@ -32,7 +32,38 @@ import org.apache.spark.sql.expressions.Window
   */
 object KnnHex {
 
+  /** Hex resolution targeting ~k points per cell (the hex analogue of
+    * Knn.adaptiveCellSize): pick the res whose hexagon area is closest to
+    * k/density, so pass-1 probes ~7k candidates at any density.
+    */
+  def adaptiveRes(n: Long, k: Int): Int = {
+    // hexagon area = (3*sqrt(3)/2) * r0^2 with r0 = HexCells.radius(res)
+    val target = math.sqrt(Knn.WorldArea * k / (2.598 * math.max(1L, n).toDouble))
+    val res = math.round(math.log(4e8 / target) / math.log(math.sqrt(7.0))).toInt
+    math.max(0, math.min(10, res))
+  }
+
   def apply(points: DataFrame, queries: DataFrame, k: Int, res: Int): DataFrame = {
+    val b = build(points, queries, k, res)
+    b.res1.select("qid", "rk", "pid")
+      .unionByName(b.res2.select("qid", "rk", "pid"))
+      .unionByName(b.brute.select("qid", "rk", "pid"))
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"))
+  }
+
+  /** Diagnostic: (total, unresolved after pass 1, unresolved after pass 2)
+    * query counts — pass 3 (brute) handles the last number; callers assert
+    * it stays a small fraction.
+    */
+  def passStats(points: DataFrame, queries: DataFrame, k: Int, res: Int): (Long, Long, Long) = {
+    val b = build(points, queries, k, res)
+    (b.qs.count(), b.un1.count(), b.un2.count())
+  }
+
+  private case class Built(qs: DataFrame, res1: DataFrame, un1: DataFrame,
+      res2: DataFrame, un2: DataFrame, brute: DataFrame)
+
+  private def build(points: DataFrame, queries: DataFrame, k: Int, res: Int): Built = {
     val r0 = HexCells.radius(res)
     def lbSq(d: Int): Double = {
       val lb = math.max(0.0, HexCells.minRingDist(res, d) - r0)
@@ -87,9 +118,6 @@ object KnnHex {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
 
-    res1.select("qid", "rk", "pid")
-      .unionByName(res2.select("qid", "rk", "pid"))
-      .unionByName(brute.select("qid", "rk", "pid"))
-      .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"))
+    Built(qs, res1, un1, res2, un2, brute)
   }
 }
