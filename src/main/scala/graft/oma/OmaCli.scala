@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSession
   * type config, -p selects the metadata features bitmask, -0 disables slice
   * compression, -1 adds each element only once. The reference's memory/tmp
   * knobs (-m, -c, -tmp, Oma.java:155-162) have no Spark equivalent — the
-  * shuffle replaces its out-of-core temp streams — and O5M/PBF inputs are
-  * designed out (SURVEY §2.1), so the input must be OSM XML.
+  * shuffle replaces its out-of-core temp streams. Input may be OSM XML,
+  * O5M or PBF — dispatched by magic bytes like OSMReader.getReader.
   */
 object OmaCli {
 
@@ -108,24 +108,27 @@ object OmaCli {
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)
     // getOrCreate: under spark-submit the session comes preconfigured from
-    // the cluster; standalone runs fall back to these local defaults
+    // the cluster; standalone runs fall back to these local defaults. Only
+    // stop() a session this CLI itself created — in a shared JVM (tests)
+    // stopping a pre-existing session would kill other suites' work.
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .appName("omaspark-convert")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     if (a.verbose == 0) spark.sparkContext.setLogLevel("WARN")
 
-    val xml = Files.readString(a.input)
+    // format dispatch (reference OSMReader.getReader): XML, O5M or PBF by
+    // magic bytes; parsed exactly once, stats and pipeline share the result
+    val in = OsmSource.read(a.input.toString)
     if (a.verbose >= 1) System.err.println(s"converting ${a.input} -> ${a.output}")
-    if (a.verbose >= 2) {
-      val in = OsmXml.parse(xml)
+    if (a.verbose >= 2)
       System.err.println(s"ingest: ${in.nodes.size} nodes, ${in.ways.size} ways, " +
         s"${in.rels.size} relations, ${in.discardedTags} discardable tags dropped")
-    }
-    val res = OmaPipeline.run(spark, xml, a.bbs, a.typ, a.features, a.zip, a.oneElement)
+    val res = OmaPipeline.run(spark, in, a.bbs, a.typ, a.features, a.zip, a.oneElement)
     Files.write(a.output, res.bytes)
     if (a.verbose >= 1)
       System.err.println(s"wrote ${res.bytes.length} bytes, ${res.parsed.chunks.length} chunks")
-    spark.stop()
+    if (preExisting.isEmpty) spark.stop()
   }
 }

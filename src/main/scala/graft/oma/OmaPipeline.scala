@@ -120,9 +120,13 @@ object OmaPipeline {
 
   /** End-to-end: parse -> reunify -> tile -> classify -> write. */
   def run(spark: SparkSession, xml: String, bbsText: String, typeText: String,
+          features: Int, zip: Boolean, oneElement: Boolean): Result =
+    run(spark, OsmXml.parse(xml), bbsText, typeText, features, zip, oneElement)
+
+  /** Same, from an already-parsed input (any source format — XML/O5M/PBF). */
+  def run(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
           features: Int, zip: Boolean, oneElement: Boolean): Result = {
     val cfg = TypeConfig.parse(typeText)
-    val input = OsmXml.parse(xml)
     val (bboxOpt, els) = ReunifySpark.reunify(spark, input)
     val inputBounds = bboxOpt.getOrElse(Bbox.WholeWorld)
     val index = new TileIndex(Bbs.expand(Bbs.parse(bbsText), inputBounds))
