@@ -16,6 +16,7 @@ object SparkEntry {
       operators.RelationalQueries.defs ++
       operators.MultimodalQueries.defs ++
       operators.OmaQueries.defs ++
+      operators.BinaryScanQueries.defs ++
       operators.BucketedQueries.defs ++
       streaming.StreamQueries.defs
 
