@@ -150,19 +150,29 @@ object OmaReader {
     }
 
     val zip = compression == "DEFLATE"
+    // chunk bodies are position-independent (chunk-relative offsets) — the
+    // property the distributed sink AND the pruned scan (OmaScan) rely on
+    val starts = chunkRefs.map(_._1).sorted
     val chunks = chunkRefs.map { case (start, ctype, cb) =>
-      in.pos = start.toInt
-      val blockTableOff = in.readInt()
-      val tablePos = start.toInt + blockTableOff
-      val bin = new In(bytes); bin.pos = tablePos
-      val nBlocks = bin.readSmallInt()
-      val blocks = (0 until nBlocks).map { _ =>
-        val off = bin.readInt(); val key = bin.readString()
-        readBlock(bytes, start.toInt + off, key, ctype, features, zip)
-      }
-      OmaChunk(ctype, cb, blocks)
+      val end = starts.find(_ > start).getOrElse(chunkTablePos)
+      val body = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt)
+      OmaChunk(ctype, cb, readChunkBody(body, ctype, features, zip))
     }
     OmaFile(features, bbox, compression, catalog, chunks)
+  }
+
+  /** Decode one chunk body (bytes from its start to the next chunk's) —
+    * all internal offsets are chunk-relative, so this needs no file
+    * context and can run on any executor. */
+  def readChunkBody(chunk: Array[Byte], ctype: Char, features: Int, zip: Boolean): Seq[OmaBlock] = {
+    val in = new In(chunk)
+    val blockTableOff = in.readInt()
+    val bin = new In(chunk); bin.pos = blockTableOff
+    val nBlocks = bin.readSmallInt()
+    (0 until nBlocks).map { _ =>
+      val off = bin.readInt(); val key = bin.readString()
+      readBlock(chunk, off, key, ctype, features, zip)
+    }
   }
 
   private def readCatalog(in: In): TypeCatalog = {

@@ -123,12 +123,56 @@ object BinaryScanQueries {
        |ORDER BY kind, id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // oma_query: the .oma READ path — convert part-derived nodes to a real
+  // .oma container, then query it back through the chunk-pruned scan
+  // (OmaScan) with a bbox predicate. Untagged nodes (k%4==0) are dropped
+  // by the pipeline's P2 rule, so the oracle reproduces that too.
+  // ---------------------------------------------------------------------
+
+  /** Query bbox: eastern-north quarter-ish of the world. */
+  private val QueryBox = graft.core.Bbox(-900000000, 0, 900000000, 900000000)
+
+  private def omaFile(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_omascan_$key.oma")
+    if (!Files.exists(p)) {
+      val in = scanInput(s, dir)
+      val res = OmaPipeline.run(s, OsmInput(None, in.nodes, Nil, Nil),
+        graft.core.Bbs.DefaultBbs, TypeConfig.Minimal,
+        features = 31, zip = true, oneElement = false)
+      Files.write(p, res.bytes)
+    }
+    p.toString
+  }
+
+  private val omaQueryOracle: String = {
+    val lon = s"CAST(${PortableHash.duckSql("('nlon:' || CAST(k AS VARCHAR))")} % 3600000001 - 1800000000 AS BIGINT)"
+    val lat = s"CAST(${PortableHash.duckSql("('nlat:' || CAST(k AS VARCHAR))")} % 1800000001 - 900000000 AS BIGINT)"
+    s"""WITH ks AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey % 4 <> 0),
+       |nodes AS (SELECT k AS id, $lon AS lon, $lat AS lat FROM ks)
+       |SELECT id, lon, lat FROM nodes
+       |WHERE lon BETWEEN ${QueryBox.minLon} AND ${QueryBox.maxLon}
+       |  AND lat BETWEEN ${QueryBox.minLat} AND ${QueryBox.maxLat}
+       |ORDER BY id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("o_o5m_scan", oracleSql) { (s, dir) =>
       flat(OsmSource.o5mScan(s, binFile(s, dir, "o5m")).toDF())
     },
     QueryDef.sql("o_pbf_scan", oracleSql) { (s, dir) =>
       flat(OsmSource.pbfScan(s, binFile(s, dir, "pbf")).toDF())
+    },
+    QueryDef.sql("oma_query", omaQueryOracle) { (s, dir) =>
+      OmaScan.query(s, omaFile(s, dir), QueryBox).toDF()
+        .filter(col("ctype") === "N")
+        .select(col("id"),
+          element_at(col("lon"), 1).cast("long").as("lon"),
+          element_at(col("lat"), 1).cast("long").as("lat"))
+        .filter(col("lon").between(QueryBox.minLon.toLong, QueryBox.maxLon.toLong)
+          && col("lat").between(QueryBox.minLat.toLong, QueryBox.maxLat.toLong))
+        .orderBy("id")
     }
   )
 }
