@@ -47,6 +47,51 @@ object DocQueries {
   private val BandRows = 16
   private val P = 1000000007L
 
+  /** Band buckets holding more docs than this are skipped for candidate
+    * generation (and counted): one degenerate all-identical bucket is
+    * quadratic within the bucket — the band-join analogue of the word DF
+    * cap. 256 is well above the sf0.01 gate-scale maximum (104). */
+  val LshBucketCap = 256
+
+  /** Keep only rows whose `bucketCol` group size is <= cap (mirrored in the
+    * DuckDB oracle as GROUP BY ... HAVING COUNT(*) <= cap). */
+  private[operators] def cappedBuckets(bands: DataFrame, bucketCol: String, cap: Int): DataFrame = {
+    val ok = bands.groupBy(bucketCol).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= cap).select(bucketCol)
+    bands.join(ok, Seq(bucketCol), "left_semi")
+  }
+
+  /** (doc_id, word) sets and the minhash band-bucket assignment shared by
+    * the d_minhash_lsh query and the bucket diagnostics. */
+  private def minhashWordsAndBands(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val planted = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 20000000L)
+    val w = d.unionByName(planted)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
+      .distinct()
+    val h = w.select(col("doc_id"), expr(h60word("word")).as("hw"))
+    val minCols = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
+    }
+    val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
+      val parts = (0 until BandRows).flatMap(r =>
+        Seq(lit(":"), col(s"m${BandRows * bd + r}").cast("string"))).tail
+      sig.select(col("doc_id"), concat(lit(s"$bd:") +: parts: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    (w, bands)
+  }
+
+  /** Diagnostic: (largest band-bucket size, buckets dropped by the cap). */
+  def minhashBucketStats(s: SparkSession, dir: String): (Long, Long) = {
+    val sizes = minhashWordsAndBands(s, dir)._2
+      .groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val agg = sizes.agg(max("bn").as("mx"),
+      sum(when(col("bn") > LshBucketCap, 1L).otherwise(0L)).as("dropped")).head()
+    (agg.getLong(0), agg.getLong(1))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup over planted duplicates (the source table has none):
@@ -180,6 +225,15 @@ object DocQueries {
     // predicate J >= 0.9 (19*|inter| >= 9*(|A|+|B|)) confirms on the real
     // word sets. Candidate generation AND confirm are mirrored in the
     // oracle, so the gate is bit-exact.
+    //
+    // HOT-BUCKET CAP (the band analogue of the DF cap): buckets holding
+    // more than LshBucketCap docs are skipped for candidate generation —
+    // a bucket that large means "everything here duplicates everything"
+    // (quadratic in-bucket pairs; a representative-picking pass, not a
+    // pair list, is the right tool for such clusters). The cap is mirrored
+    // in the oracle, so the gate stays bit-exact at every scale; dropped
+    // buckets are observable via minhashBucketStats (0 at the sf0.01 gate
+    // scale, where the largest bucket holds 104 docs).
     QueryDef.sql("d_minhash_lsh", {
       val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
         s"MIN(($a * hw + $b) % $P) AS m$j" }.mkString(", ")
@@ -195,8 +249,10 @@ object DocQueries {
          |h AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM w),
          |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
          |b AS ($bands),
+         |okb AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= $LshBucketCap),
+         |bc AS (SELECT b.doc_id, b.bucket FROM b JOIN okb USING (bucket)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |         FROM bc x JOIN bc y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
          |inter AS (SELECT c.a, c.b, COUNT(*) AS i
          |          FROM cand c JOIN w x ON x.doc_id = c.a
@@ -207,23 +263,9 @@ object DocQueries {
          |WHERE 19 * i >= 9 * (sa.n + sb.n)
          |ORDER BY a, b""".stripMargin
     }) { (s, dir) =>
-      val d = docs(s, dir).select("doc_id", "text")
-      val planted = d.filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + 20000000L)
-      val w = d.unionByName(planted)
-        .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
-        .distinct()
-      val h = w.select(col("doc_id"), expr(h60word("word")).as("hw"))
-      val minCols = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
-        min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
-      }
-      val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
-        val parts = (0 until BandRows).flatMap(r =>
-          Seq(lit(":"), col(s"m${BandRows * bd + r}").cast("string"))).tail
-        sig.select(col("doc_id"), concat(lit(s"$bd:") +: parts: _*).as("bucket"))
-      }.reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
+      val (w, bands) = minhashWordsAndBands(s, dir)
+      val bc = cappedBuckets(bands, "bucket", LshBucketCap)
+      val cand = bc.as("x").join(bc.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()

@@ -43,10 +43,99 @@ object EmbedQueries {
   }
   lazy val hyperplanes: Array[Array[Long]] = hyperplanes32.take(8)
 
-  /** 16 deterministic IVF centroids on the milli-quantized scale. */
-  val IvfLists = 16
-  lazy val ivfCentroids: Array[Array[Long]] = Array.tabulate(IvfLists, Dim) { (j, d) =>
-    PortableHash.h60(s"ivf:$j:$d") % 2001 - 1000
+  /** IVF list count for n vectors: ~sqrt(n), the standard probe/list cost
+    * balance (probe work ~ nprobe * n/nlist is minimized at nlist ~ sqrt(n)).
+    * sqrt of an integer can never land exactly on .5, so round() agrees
+    * between engines. */
+  def ivfNlist(n: Long): Int =
+    math.max(4L, math.round(math.sqrt(n.toDouble))).toInt
+
+  /** Data-trained centroids: the nlist vectors ranked first by a
+    * deterministic per-vector hash — a seeded uniform SAMPLE of the data
+    * (the standard IVF-flat sample-quantizer: sampled centroids land in
+    * clusters proportionally to cluster mass, unlike the former 16 fixed
+    * hash-derived vectors which ignored the data entirely). Replayable by
+    * the DuckDB oracle via the same hash ranking. */
+  private def ivfHashSql = PortableHash.sparkSql("('ivfc:' || CAST(vec_id AS STRING))")
+  private def ivfHashDuck = PortableHash.duckSql("('ivfc:' || CAST(vec_id AS VARCHAR))")
+
+  /** Band buckets larger than this are skipped for candidate generation in
+    * e_cosine_dup (mirrored in the oracle) — see DocQueries.LshBucketCap. */
+  val BandBucketCap = 256
+
+  /** IVF top-k (the e_ivf_topk body; nlistOverride forces a list count for
+    * the spec's 16/64 configurations — None derives round(sqrt(n))). */
+  def ivfTopk(s: SparkSession, dir: String, nlistOverride: Option[Int]): DataFrame = {
+    import s.implicits._
+    val v = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+    val nlist = nlistOverride.getOrElse(ivfNlist(v.count()))
+    // centroid training: deterministic hash-ranked sample of the vectors
+    // (nlist ~ sqrt(n) rows to the driver; at extreme n the assignment
+    // join itself would go hierarchical, but the list-id equi-join shape
+    // below is unchanged)
+    val cent = v.withColumn("h", expr(ivfHashSql))
+      .orderBy("h", "vec_id").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, j) => (j.toLong, r.getSeq[Long](1)) }.toSeq
+      .toDF("j", "c")
+    // exact L2 via dot identities: |v-c|^2 = v.v - 2 v.c + c.c (all BIGINT)
+    val l2 = ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c")
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
+    val d = v.crossJoin(broadcast(cent))
+      .withColumn("dist", l2)
+      .withColumn("crk", row_number().over(wC))
+    val asg = d.filter(col("crk") === 1)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("j"))
+    val probes = d.filter(col("crk") <= 2 && col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("j"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot").desc, col("pid"))
+    probes.join(asg, Seq("j")).filter(col("pid") =!= col("qid"))
+      .withColumn("dot", ip("qv", "pv"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Diagnostic: list-size balance of the IVF assignment at a given nlist:
+    * (nlist, non-empty lists, max list size, min non-empty list size). */
+  def ivfListStats(s: SparkSession, dir: String, nlistOverride: Option[Int]): (Int, Long, Long, Long) = {
+    import s.implicits._
+    val v = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+    val nlist = nlistOverride.getOrElse(ivfNlist(v.count()))
+    val cent = v.withColumn("h", expr(ivfHashSql))
+      .orderBy("h", "vec_id").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, j) => (j.toLong, r.getSeq[Long](1)) }.toSeq
+      .toDF("j", "c")
+    val l2 = ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c")
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
+    val sizes = v.crossJoin(broadcast(cent))
+      .withColumn("dist", l2)
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") === 1)
+      .groupBy("j").agg(count(lit(1)).as("n"))
+    val agg = sizes.agg(count(lit(1)).as("lists"), max("n").as("mx"), min("n").as("mn")).head()
+    (nlist, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+  }
+
+  /** Diagnostic: (largest cosine band-bucket size, buckets dropped). */
+  def cosineBucketStats(s: SparkSession, dir: String): (Long, Long) = {
+    val base0 = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+    val planted = base0.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val b = base0.unionByName(planted).withColumn("bits", bitsCol(0, 32).cast("long"))
+    val bands = (0 until 4).map { g =>
+      b.select(col("vec_id"),
+        (lit(256L * g) + shiftright(col("bits"), 8 * g).bitwiseAND(255L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val agg = bands.groupBy("bkey").agg(count(lit(1)).as("bn"))
+      .agg(max("bn").as("mx"),
+        sum(when(col("bn") > BandBucketCap, 1L).otherwise(0L)).as("dropped")).head()
+    (agg.getLong(0), agg.getLong(1))
   }
 
   /** Spark column: sign-bit integer over hyperplanes [from, until) of the
@@ -140,21 +229,21 @@ object EmbedQueries {
     },
 
     // IVF (inverted-file) ANN top-k: the coarse-quantizer variant of the
-    // scale path. Every vector is assigned to its nearest of 16
-    // deterministic centroids (exact integer L2, ties on centroid index);
-    // queries probe their 2 nearest lists; candidates meet in an equi-join
-    // on the list id; exact integer dot ranks within candidates. The
-    // centroid scoring side is a broadcast of 16 rows — the one place a
-    // broadcast nested-loop is the RIGHT plan.
+    // scale path. nlist = round(sqrt(n)) centroids are a deterministic
+    // hash-ranked SAMPLE of the vectors themselves (data-trained, scale-
+    // parameterized — both replayed exactly by the oracle); every vector is
+    // assigned to its nearest centroid (exact integer L2, ties on centroid
+    // index); queries probe their 2 nearest lists; candidates meet in an
+    // equi-join on the list id; exact integer dot ranks within candidates.
+    // The centroid scoring side is a broadcast of nlist rows — the one
+    // place a broadcast nested-loop is the RIGHT plan (bounded by nlist).
     QueryDef.sql("e_ivf_topk", {
-      val centVals = (0 until IvfLists).map { j =>
-        val c = ivfCentroids(j)
-        s"($j, [${c.mkString(", ")}]::BIGINT[])"
-      }.mkString(", ")
       val l2 = "CAST(list_sum(list_transform(range(1, 65), i -> (v[i] - c[i]) * (v[i] - c[i]))) AS BIGINT)"
       val dot = "CAST(list_sum(list_transform(range(1, 65), i -> qv.v[i] * pv.v[i])) AS BIGINT)"
       s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
-         |cent AS (SELECT * FROM (VALUES $centVals) c(j, c)),
+         |nn AS (SELECT GREATEST(4, round(sqrt(COUNT(*)))) AS nl FROM v),
+         |rankedc AS (SELECT v, row_number() OVER (ORDER BY $ivfHashDuck, vec_id) AS rk FROM v),
+         |cent AS (SELECT rk - 1 AS j, v AS c FROM rankedc, nn WHERE rk <= nl),
          |d AS (SELECT vec_id, j, $l2 AS dist,
          |        row_number() OVER (PARTITION BY vec_id ORDER BY $l2, j) AS crk
          |      FROM v CROSS JOIN cent),
@@ -166,31 +255,7 @@ object EmbedQueries {
          |      JOIN v qv ON qv.vec_id = p.qid JOIN v pv ON pv.vec_id = a.vec_id)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin
-    }) { (s, dir) =>
-      import s.implicits._
-      val cent = ivfCentroids.zipWithIndex
-        .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("j", "c")
-      val v = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
-      // exact L2 via dot identities: |v-c|^2 = v.v - 2 v.c + c.c (all BIGINT)
-      val l2 = ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c")
-      val wC = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
-      val d = v.crossJoin(broadcast(cent))
-        .withColumn("dist", l2)
-        .withColumn("crk", row_number().over(wC))
-      val asg = d.filter(col("crk") === 1)
-        .select(col("vec_id").as("pid"), col("v").as("pv"), col("j"))
-      val probes = d.filter(col("crk") <= 2 && col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("j"))
-      val wR = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("dot").desc, col("pid"))
-      probes.join(asg, Seq("j")).filter(col("pid") =!= col("qid"))
-        .withColumn("dot", ip("qv", "pv"))
-        .withColumn("rk", row_number().over(wR))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
-        .orderBy("qid", "rk")
-    },
+    }) { (s, dir) => ivfTopk(s, dir, nlistOverride = None) },
 
     // random-hyperplane LSH bucketing (verifies the bucket assignment the
     // ANN join keys on)
@@ -223,8 +288,10 @@ object EmbedQueries {
          |b AS (SELECT vec_id, v, CAST(${bitsSql(0, 32)} AS BIGINT) AS bits FROM base),
          |bands AS (SELECT vec_id, 256 * g.g + ((bits >> (8 * g.g)) & 255) AS bkey
          |          FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) g(g)),
+         |okb AS (SELECT bkey FROM bands GROUP BY bkey HAVING COUNT(*) <= $BandBucketCap),
+         |bc AS (SELECT bands.vec_id, bands.bkey FROM bands JOIN okb USING (bkey)),
          |cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
-         |         FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |         FROM bc x JOIN bc y ON x.bkey = y.bkey AND x.vec_id < y.vec_id)
          |SELECT c.ida, c.idb
          |FROM cand c JOIN b va ON va.vec_id = c.ida JOIN b vb ON vb.vec_id = c.idb
          |WHERE ($dot) >= 0 AND 100 * ($dot) * ($dot) >= 81 * ($na) * ($nb)
@@ -238,7 +305,12 @@ object EmbedQueries {
         b.select(col("vec_id"),
           (lit(256L * g) + shiftright(col("bits"), 8 * g).bitwiseAND(255L)).as("bkey"))
       }.reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
+      // hot-bucket cap (mirrored in the oracle): a degenerate bucket of
+      // identical embeddings — common in crawl data — is quadratic within
+      // the bucket; buckets above the cap are skipped and counted
+      // (cosineBucketStats; 0 dropped on this corpus, max size 31)
+      val bc = DocQueries.cappedBuckets(bands, "bkey", BandBucketCap)
+      val cand = bc.as("x").join(bc.as("y"),
           col("x.bkey") === col("y.bkey") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
         .distinct()

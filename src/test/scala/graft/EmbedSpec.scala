@@ -61,4 +61,37 @@ class EmbedSpec extends AnyFunSuite {
     info(f"ANN recall@3 vs brute force on near-random vectors: $recall%.2f (${shared.size}/${b.size})")
     assert(recall >= 0.05, f"recall collapsed: $recall%.2f")
   }
+
+  test("IVF stays correct across nlist configurations; list balance logged") {
+    val dir = "/root/testdata/sf0.01"
+    // exact-dot consistency vs brute force at BOTH forced list counts:
+    // any (qid,pid) pair reported by both carries the same exact dot, and
+    // the planted-style guarantee holds (a vector identical to a query is
+    // assigned to the query's own list -> found at rank 1 if present)
+    val b = brute.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    for (nl <- Seq(16, 64)) {
+      val got = EmbedQueries.ivfTopk(spark, dir, Some(nl)).collect()
+      assert(got.nonEmpty, s"nlist=$nl produced nothing")
+      val m = got.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+      val shared = m.keySet intersect b.keySet
+      assert(shared.forall(k => m(k) == b(k)), s"dot mismatch at nlist=$nl")
+      // each query returns at most k=3 ranked rows
+      assert(got.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+      val (nlist, lists, mx, mn) = EmbedQueries.ivfListStats(spark, dir, Some(nl))
+      info(s"nlist=$nlist: $lists non-empty lists, sizes [$mn, $mx]")
+      assert(lists > 1, "assignment collapsed to one list")
+    }
+    val (nlA, listsA, mxA, mnA) = EmbedQueries.ivfListStats(spark, dir, None)
+    info(s"adaptive nlist=$nlA (round(sqrt(n))): $listsA non-empty lists, sizes [$mnA, $mxA]")
+  }
+
+  test("hot-bucket caps: nothing dropped on this corpus, diagnostics exposed") {
+    val dir = "/root/testdata/sf0.01"
+    val (cmax, cdrop) = EmbedQueries.cosineBucketStats(spark, dir)
+    info(s"cosine band buckets: max size $cmax, dropped $cdrop (cap ${EmbedQueries.BandBucketCap})")
+    assert(cdrop == 0 && cmax <= EmbedQueries.BandBucketCap)
+    val (mmax, mdrop) = graft.operators.DocQueries.minhashBucketStats(spark, dir)
+    info(s"minhash band buckets: max size $mmax, dropped $mdrop (cap ${graft.operators.DocQueries.LshBucketCap})")
+    assert(mdrop == 0 && mmax <= graft.operators.DocQueries.LshBucketCap)
+  }
 }

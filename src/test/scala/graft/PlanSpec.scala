@@ -107,8 +107,9 @@ class PlanSpec extends AnyFunSuite {
     val pj = plan(j.fn(spark, dir))
     assert(!pj.contains("CartesianProduct"), pj)
     assert(!pj.contains("BroadcastNestedLoopJoin"), pj)
-    // IVF: the 16-row centroid broadcast IS a nested-loop (the right plan
-    // for coarse scoring); what must never appear is an unbounded cartesian
+    // IVF: the nlist-row centroid broadcast IS a nested-loop (the right
+    // plan for coarse scoring); what must never appear is an unbounded
+    // cartesian
     val ivf = operators.EmbedQueries.defs.find(_.name == "e_ivf_topk").get
     assert(!plan(ivf.fn(spark, dir)).contains("CartesianProduct"))
   }
