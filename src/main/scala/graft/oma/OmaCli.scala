@@ -125,10 +125,12 @@ object OmaCli {
     if (a.verbose >= 2)
       System.err.println(s"ingest: ${in.nodes.size} nodes, ${in.ways.size} ways, " +
         s"${in.rels.size} relations, ${in.discardedTags} discardable tags dropped")
-    val res = OmaPipeline.run(spark, in, a.bbs, a.typ, a.features, a.zip, a.oneElement)
-    Files.write(a.output, res.bytes)
+    // streamed sink: executors write chunk-body part files, the driver
+    // stream-concatenates — driver memory stays O(chunk table)
+    val table = OmaPipeline.runToFile(spark, in, a.bbs, a.typ, a.features, a.zip,
+      a.oneElement, a.output.toString)
     if (a.verbose >= 1)
-      System.err.println(s"wrote ${res.bytes.length} bytes, ${res.parsed.chunks.length} chunks")
+      System.err.println(s"wrote ${Files.size(a.output)} bytes, ${table.length} chunks")
     if (preExisting.isEmpty) spark.stop()
   }
 }

@@ -357,9 +357,11 @@ object OmaWriter {
     * offset), then write the chunk table — the only driver-side work in the
     * distributed sink.
     */
-  def writeFileFromParts(features: Int, bbox: Bbox, zip: Boolean,
-                         catalog: Seq[(Char, Seq[(String, Seq[String])])],
-                         parts: Seq[(Char, Bbox, Array[Byte])]): Array[Byte] = {
+  /** Fixed header + optional headers, as standalone bytes, plus the file
+    * position of the chunk-table pointer to patch later (the streamed
+    * sink's building block). */
+  def headerBytes(features: Int, bbox: Bbox, zip: Boolean,
+                  catalog: Seq[(Char, Seq[(String, Seq[String])])]): (Array[Byte], Long) = {
     val out = new OmaBuf
     out.writeByte('O'); out.writeByte('M'); out.writeByte('A'); out.writeByte(1)
     out.writeByte(features)
@@ -394,6 +396,15 @@ object OmaWriter {
     if (zip) out.patchInt(zJump, out.size - zJump - 4)
 
     out.writeByte(0) // end of header
+    (out.toBytes, chunkTablePtrPos.toLong)
+  }
+
+  def writeFileFromParts(features: Int, bbox: Bbox, zip: Boolean,
+                         catalog: Seq[(Char, Seq[(String, Seq[String])])],
+                         parts: Seq[(Char, Bbox, Array[Byte])]): Array[Byte] = {
+    val (hdr, chunkTablePtrPos) = headerBytes(features, bbox, zip, catalog)
+    val out = new OmaBuf
+    out.write(hdr)
 
     val table = new ArrayBuffer[(Long, Char, Bbox)]
     parts.foreach { case (ctype, cb, body) =>
@@ -408,7 +419,7 @@ object OmaWriter {
       out.writeLong(start); out.writeByte(t)
       out.writeInt(b.minLon); out.writeInt(b.minLat); out.writeInt(b.maxLon); out.writeInt(b.maxLat)
     }
-    out.patchLong(chunkTablePtrPos, tableStart.toLong)
+    out.patchLong(chunkTablePtrPos.toInt, tableStart.toLong)
     out.toBytes
   }
 

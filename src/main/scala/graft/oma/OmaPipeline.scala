@@ -126,6 +126,88 @@ object OmaPipeline {
   /** Same, from an already-parsed input (any source format — XML/O5M/PBF). */
   def run(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
           features: Int, zip: Boolean, oneElement: Boolean): Result = {
+    val p = prepare(spark, input, bbsText, typeText, features, zip, oneElement)
+    val parts = p.bodies.collect().sortBy(t => (t._1, t._2, t._3))
+    val chunkParts = parts.toSeq.map { case (_, tile, _, kindStr, body) =>
+      (kindStr.charAt(0), p.boundsOf(tile), body)
+    }
+    val feat = features | (if (oneElement) OmaWire.FeatOneElement else 0)
+    val bytes = OmaWriter.writeFileFromParts(feat, p.headerBbox, zip, p.catalog, chunkParts)
+    Result(bytes, OmaReader.read(bytes))
+  }
+
+  /** Streamed sink: executors write each chunk body to its own part file
+    * (in local mode a shared temp dir; on a real cluster this path would be
+    * shared storage), the driver collects ONLY per-chunk metadata, then
+    * stream-concatenates part files into the final .oma and patches the
+    * chunk-table pointer. Driver memory is O(chunk table) + one copy
+    * buffer, never O(container bytes). Byte-identical to [[run]] by
+    * construction (asserted in OmaScanSpec).
+    * Returns the chunk table (start offset, kind, bounds).
+    */
+  def runToFile(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
+                features: Int, zip: Boolean, oneElement: Boolean,
+                outPath: String): Seq[(Long, Char, Bbox)] = {
+    val p = prepare(spark, input, bbsText, typeText, features, zip, oneElement)
+    val tmpDir = java.nio.file.Files.createTempDirectory("omaparts").toString
+    import spark.implicits._
+    val meta = p.bodies.mapPartitions { it =>
+      it.map { case (kr, tile, sub, kind, body) =>
+        val f = java.nio.file.Paths.get(tmpDir, s"part_${kr}_${tile}_$sub")
+        java.nio.file.Files.write(f, body)
+        (kr, tile, sub, kind, body.length.toLong, f.toString)
+      }
+    }.collect().sortBy(t => (t._1, t._2, t._3))
+
+    val feat = features | (if (oneElement) OmaWire.FeatOneElement else 0)
+    val (header, ptrPos) = OmaWriter.headerBytes(feat, p.headerBbox, zip, p.catalog)
+    val fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath))
+    val table = Seq.newBuilder[(Long, Char, Bbox)]
+    try {
+      fos.write(header)
+      var off = header.length.toLong
+      val buf = new Array[Byte](1 << 16)
+      meta.foreach { case (_, tile, _, kindStr, len, path) =>
+        table += ((off, kindStr.charAt(0), p.boundsOf(tile)))
+        val in = new java.io.FileInputStream(path)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { fos.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+        off += len
+      }
+      val entries = table.result()
+      val tb = new OmaBuf
+      tb.writeInt(entries.length)
+      entries.foreach { case (start, t, b) =>
+        tb.writeLong(start); tb.writeByte(t)
+        tb.writeInt(b.minLon); tb.writeInt(b.minLat); tb.writeInt(b.maxLon); tb.writeInt(b.maxLat)
+      }
+      fos.write(tb.toBytes)
+      fos.flush()
+      fos.close()
+      val raf = new java.io.RandomAccessFile(outPath, "rw")
+      try { raf.seek(ptrPos); raf.writeLong(off) } finally raf.close()
+      entries
+    } finally {
+      fos.close()
+      scala.util.Try(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmpDir)))
+    }
+  }
+
+  private final case class Prepared(
+      bodies: Dataset[(Int, Int, Int, String, Array[Byte])],
+      catalog: Seq[(Char, Seq[(String, Seq[String])])],
+      headerBbox: Bbox, index: TileIndex) {
+    def boundsOf(tile: Int): Bbox =
+      if (tile < index.bounds.length) index.bounds(tile) else Bbox.NoBounds
+  }
+
+  /** Everything up to (but excluding) the driver-side assembly: reunify,
+    * tile, classify, and serialize chunk bodies on executors. */
+  private def prepare(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
+                      features: Int, zip: Boolean, oneElement: Boolean): Prepared = {
     val cfg = TypeConfig.parse(typeText)
     val (bboxOpt, els) = ReunifySpark.reunify(spark, input)
     val inputBounds = bboxOpt.getOrElse(Bbox.WholeWorld)
@@ -163,7 +245,7 @@ object OmaPipeline {
     // nothing element-level ever crosses to the driver.
     val zipCap = zip
     val featuresCap = features
-    val parts = classified
+    val bodies = classified
       .repartition($"kindRank", $"tile", $"subPass")
       .sortWithinPartitions("kindRank", "tile", "subPass", "blockIdx", "sliceOrder", "sliceValue", "seq")
       .mapPartitions { it =>
@@ -204,17 +286,8 @@ object OmaPipeline {
           }
         }
       }
-      .collect()
-      .sortBy(p => (p._1, p._2, p._3)) // deterministic chunk-table order
 
-    val chunkParts = parts.toSeq.map { case (_, tile, _, kindStr, body) =>
-      val cb = if (tile < index.bounds.length) index.bounds(tile) else Bbox.NoBounds
-      (kindStr.charAt(0), cb, body)
-    }
-
-    val feat = features | (if (oneElement) OmaWire.FeatOneElement else 0)
-    val bytes = OmaWriter.writeFileFromParts(feat, headerBbox, zip, catalog, chunkParts)
-    Result(bytes, OmaReader.read(bytes))
+    Prepared(bodies, catalog, headerBbox, index)
   }
 
   /** group consecutive-equal keys from already-sorted input, preserving order. */

@@ -54,6 +54,17 @@ class OmaScanSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streamed sink (runToFile) is byte-identical to the in-memory assembly") {
+    val out = Files.createTempFile("omastream", ".oma")
+    val table = OmaPipeline.runToFile(spark, OsmXml.parse(OsmXml.write(Fixtures.fixture)),
+      Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = true, oneElement = false,
+      out.toString)
+    val streamed = Files.readAllBytes(out)
+    assert(java.util.Arrays.equals(streamed, omaBytes), "streamed file differs from in-memory bytes")
+    assert(table.size == full.chunks.size)
+    assert(table.map(_._2) == full.chunks.map(_.ctype))
+  }
+
   test("bbox pruning skips non-intersecting chunks but never loses matching elements") {
     val h = OmaScan.header(path)
     // a small window around the 8.x/49.x cluster of the fixture
