@@ -64,6 +64,15 @@ object TileLineage {
     * manifest lines.
     */
   def writeTiled(df: DataFrame, root: String): WriteSummary = {
+    // tiles are non-null by contract (the tile encoder is total — the
+    // catch-all tile absorbs everything); assert rather than let a null
+    // slip past the left_anti resume (the old !isin filter dropped nulls,
+    // left_anti RETAINS them, and a null tile would then blow up the
+    // non-nullable TileStat decode on every subsequent resume). The scan
+    // only runs when the schema can't prove non-nullability.
+    if (df.schema("tile").nullable)
+      require(df.filter(col("tile").isNull).isEmpty,
+        "writeTiled: null tile keys — the tile encoder must be total")
     val done = readManifest(root).map(_.tile).toSet
     // broadcast anti-join, not isin(...): at ~43k manifested tiles an isin
     // literal list is a giant expression tree; the anti-join stays O(1) in

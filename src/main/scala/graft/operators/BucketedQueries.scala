@@ -18,9 +18,14 @@ object BucketedQueries {
   val Buckets = 16
 
   /** Write (or refresh) the two bucketed tables for `dir` and return their
-    * catalog names. Idempotent per (session, dir). */
+    * catalog names. Idempotent per (session, dir); keyed by the full
+    * sanitized path PLUS the source parquet's mtime+size, so distinct dirs
+    * can never collide and a changed source re-stages instead of silently
+    * serving stale buckets. */
   def ensureTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = math.abs(dir.hashCode).toHexString
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+    val tag = (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + stamp).toLowerCase
     val (imgT, statT) = (s"g_img_bucketed_$tag", s"g_tilestats_bucketed_$tag")
     if (!s.catalog.tableExists(imgT)) {
       val root = java.nio.file.Paths.get(

@@ -24,8 +24,12 @@ object StreamQueries {
   /** Stage the single parquet into a directory (the file stream source
     * wants a directory) and return a started-memory-sink drain helper. */
   private def staged(dir: String, table: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_in_${(dir + table).hashCode.toHexString}")
+    // keyed by full sanitized path + source mtime+size (not hashCode):
+    // distinct dirs never collide and a changed source re-stages
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
+    val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_in_${(dir + "_" + table).replaceAll("[^A-Za-z0-9]", "_")}_$stamp")
     java.nio.file.Files.createDirectories(p)
     val target = p.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(target))
