@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Dev profiling main: isolates the cost layers of the kNN operator. */
+object ProfileKnn {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "200").toInt
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    def t(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val img = sources.ImageTable.df(spark, sfDir, mult,
+      preParts = spark.sparkContext.defaultParallelism * 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = img.count()
+    val cellSize = operators.Knn.adaptiveCellSize(n, 3)
+    println(s"n=$n cellSize=$cellSize")
+
+    val pts = img.select(xxhash64(col("image_id")).as("id"), col("lon"), col("lat"))
+    val qs0 = pts.filter(pmod(col("id"), lit(200)) === 0)
+
+    val cell = lit(cellSize)
+    def cx(c: org.apache.spark.sql.Column) = floor((c.cast("long") + 1800000000L) / cell)
+    def cy(c: org.apache.spark.sql.Column) = floor((c.cast("long") + 900000000L) / cell)
+    val p = pts.select(col("id").as("pid"), col("lon").as("plon"), col("lat").as("plat"))
+      .withColumn("pcx", cx(col("plon"))).withColumn("pcy", cy(col("plat")))
+    val q = qs0.select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+      .withColumn("qcx", cx(col("qlon"))).withColumn("qcy", cy(col("qlat")))
+    val probes = q
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("jcx", col("qcx") + col("dx"))
+      .withColumn("jcy", col("qcy") + col("dy"))
+    t("pts scan")(p)
+    t("probes")(probes)
+    val joined = broadcast(probes).join(p,
+      col("jcx") === col("pcx") && col("jcy") === col("pcy") && col("qid") =!= col("pid"))
+    t("pass1 join")(joined)
+    val dist = (col("qlon").cast("double") - col("plon")) * (col("qlon").cast("double") - col("plon")) +
+      (col("qlat").cast("double") - col("plat")) * (col("qlat").cast("double") - col("plat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("pid"))
+    val local = joined.withColumn("d", dist).withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    t("+ window topk")(local)
+    t("full Knn")(operators.Knn(pts, qs0, 3, cellSize))
+    spark.stop()
+  }
+}

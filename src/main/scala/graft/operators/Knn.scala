@@ -37,7 +37,7 @@ object Knn {
     math.max(1L, math.sqrt(WorldArea * k / math.max(1L, n).toDouble).toLong)
 
   private case class Pass1(
-      local: DataFrame, certified: DataFrame, qs: DataFrame, pts: DataFrame,
+      ranked: DataFrame, qs: DataFrame, pts: DataFrame,
       dist: Column, w: WindowSpec)
 
   private def pass1(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): Pass1 = {
@@ -55,18 +55,24 @@ object Knn {
       (col("qlat").cast("double") - col("plat")) * (col("qlat").cast("double") - col("plat"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("pid"))
 
-    // pass 1: 3x3 block join
-    val local = qs
+    // pass 1: 3x3 block join. The probe side is a small sample by
+    // construction (kNN query sets are orders of magnitude smaller than
+    // the point cloud), so BROADCAST it: the big point side then streams
+    // map-side and is never shuffled — at 1M points this is the difference
+    // between a 1M-row exchange and none.
+    val probes = qs
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("jcx", col("qcx") + col("dx"))
       .withColumn("jcy", col("qcy") + col("dy"))
+    val joined = broadcast(probes)
       .join(pts, col("jcx") === col("pcx") && col("jcy") === col("pcy") && col("qid") =!= col("pid"))
       .withColumn("d", dist)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
 
     // guaranteed radius: distance from query to its 3x3 block edge
+    // (query-side columns survive the join, so this evaluates per row)
     val margin =
       least(
         col("qlon").cast("long") + 1800000000L - (col("qcx") - 1) * cell,
@@ -78,23 +84,30 @@ object Knn {
     // exactness, so an outside point at exactly the block-edge distance
     // could tie the k-th candidate; boundary ties must fall through to
     // the brute-force pass where the oracle's (d, pid) order decides.
-    // Queries with zero pass-1 candidates never reach perQuery and are
-    // uncertified by the left_anti below.
-    val certified = local.groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
-      .join(qs, Seq("qid"))
-      .filter(col("n") === k && col("kth") < margin * margin)
-      .select("qid")
+    // Certification via window aggregates over the SAME ranked frame (one
+    // partition-by-qid exchange, reused) rather than a groupBy + join-back
+    // — the former three-fold re-execution of the candidate join is gone.
+    // Queries with zero pass-1 candidates have no rows here and fall to
+    // the brute tail via the left_anti below.
+    val wq = Window.partitionBy(col("qid"))
+    val ranked = joined
+      .withColumn("final",
+        count(lit(1)).over(wq) === k && max(col("d")).over(wq) < margin * margin)
 
-    Pass1(local, certified, qs, pts, dist, w)
+    Pass1(ranked, qs, pts, dist, w)
   }
 
   def apply(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): DataFrame = {
     val p = pass1(points, queries, k, cellSize)
 
-    val resolved = p.local.join(p.certified, Seq("qid"), "left_semi")
+    val resolved = p.ranked.filter(col("final"))
 
-    // pass 2: brute force for queries pass 1 could not certify
-    val brute = p.qs.join(p.certified, Seq("qid"), "left_anti")
+    // pass 2: brute force for queries pass 1 could not certify — the
+    // uncertified set is tiny (asserted via certStats), so broadcast it;
+    // the alternative (broadcasting the POINTS side of this non-equi
+    // join) would ship the whole cloud
+    val certifiedQids = p.ranked.filter(col("final")).select("qid")
+    val brute = broadcast(p.qs.join(certifiedQids, Seq("qid"), "left_anti"))
       .join(p.pts, col("qid") =!= col("pid"))
       .withColumn("d", p.dist)
       .withColumn("rk", row_number().over(p.w))
@@ -110,6 +123,6 @@ object Knn {
     */
   def certStats(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): (Long, Long) = {
     val p = pass1(points, queries, k, cellSize)
-    (p.certified.count(), p.qs.count())
+    (p.ranked.filter(col("final")).select("qid").distinct().count(), p.qs.count())
   }
 }

@@ -95,8 +95,10 @@ object KnnHex {
     /** one expansion pass: co-partitioned cell join out to hex distance
       * maxD, per-query top-k, and the certified/unresolved split. */
     def pass(qSet: DataFrame, maxD: Int): (DataFrame, DataFrame) = {
-      val topk = qSet
-        .withColumn("jcell", explode(probeU(maxD)(col("qlon"), col("qlat"))))
+      // broadcast the (small) probe side so the point cloud streams
+      // map-side instead of shuffling — see Knn.pass1
+      val topk = broadcast(qSet
+        .withColumn("jcell", explode(probeU(maxD)(col("qlon"), col("qlat")))))
         .join(pts, col("jcell") === col("pcell") && col("qid") =!= col("pid"))
         .withColumn("d", dist)
         .withColumn("rk", row_number().over(w))
@@ -112,7 +114,7 @@ object KnnHex {
 
     val (res1, un1) = pass(qs, 1)
     val (res2, un2) = pass(un1, 3)
-    val brute = un2
+    val brute = broadcast(un2)
       .join(pts, col("qid") =!= col("pid"))
       .withColumn("d", dist)
       .withColumn("rk", row_number().over(w))
