@@ -75,11 +75,14 @@ object DocQueries {
       min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
     }
     val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
+    // one explode pass, not a per-band union (a union re-executes the
+    // whole word-explode + minhash aggregation once per band)
+    val bandCols = (0 until MinhashSeeds.length / BandRows).map { bd =>
       val parts = (0 until BandRows).flatMap(r =>
         Seq(lit(":"), col(s"m${BandRows * bd + r}").cast("string"))).tail
-      sig.select(col("doc_id"), concat(lit(s"$bd:") +: parts: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      concat(lit(s"$bd:") +: parts: _*)
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
     (w, bands)
   }
 

@@ -128,10 +128,9 @@ object EmbedQueries {
     val planted = base0.filter(col("vec_id") % 10 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L)
     val b = base0.unionByName(planted).withColumn("bits", bitsCol(0, 32).cast("long"))
-    val bands = (0 until 4).map { g =>
-      b.select(col("vec_id"),
-        (lit(256L * g) + shiftright(col("bits"), 8 * g).bitwiseAND(255L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = b.select(col("vec_id"), explode(array((0 until 4).map { g =>
+      lit(256L * g) + shiftright(col("bits"), 8 * g).bitwiseAND(255L)
+    }: _*)).as("bkey"))
     val agg = bands.groupBy("bkey").agg(count(lit(1)).as("bn"))
       .agg(max("bn").as("mx"),
         sum(when(col("bn") > BandBucketCap, 1L).otherwise(0L)).as("dropped")).head()
@@ -301,10 +300,11 @@ object EmbedQueries {
       val planted = base0.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
       val b = base0.unionByName(planted).withColumn("bits", bitsCol(0, 32).cast("long"))
-      val bands = (0 until 4).map { g =>
-        b.select(col("vec_id"),
-          (lit(256L * g) + shiftright(col("bits"), 8 * g).bitwiseAND(255L)).as("bkey"))
-      }.reduce(_ unionByName _)
+      // one explode pass, not a 4-way union (a union re-executes the bits
+      // subplan once per band)
+      val bands = b.select(col("vec_id"), explode(array((0 until 4).map { g =>
+        lit(256L * g) + shiftright(col("bits"), 8 * g).bitwiseAND(255L)
+      }: _*)).as("bkey"))
       // hot-bucket cap (mirrored in the oracle): a degenerate bucket of
       // identical embeddings — common in crawl data — is quadratic within
       // the bucket; buckets above the cap are skipped and counted
