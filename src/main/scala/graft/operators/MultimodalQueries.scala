@@ -117,6 +117,44 @@ object MultimodalQueries {
           col("psnr_ok").cast("string").as("psnr_ok"),
           col("lossless_exact").cast("string").as("lossless_exact"))
         .orderBy("image_id")
+    },
+
+    // video frame sampling: each row is treated as a short frame stream
+    // (n_frames = phash % 7 + 2; frame f is the deterministic synthetic
+    // frame keyed "id#f" — the decode stand-in, like ImageCodec itself);
+    // uniform-sample min(4, n) frames and DECODE the sampled ones in the
+    // same mapPartitions batch. The sampling plan (counts + indices) is
+    // SQL-derivable and gated exactly; the decoded-frame dimension check
+    // rides along as frames_ok (per-frame pixel equality is re-proved in
+    // MultimodalSpec).
+    QueryDef.sql("m_frame_sample", {
+      val n = "(phash % 7 + 2)"
+      s"""SELECT image_id, CAST($n AS BIGINT) AS n_frames,
+         |  CASE WHEN $n >= 4 THEN
+         |    '0,' || CAST($n // 4 AS VARCHAR) || ',' || CAST(2 * $n // 4 AS VARCHAR)
+         |      || ',' || CAST(3 * $n // 4 AS VARCHAR)
+         |  WHEN $n = 3 THEN '0,1,2' ELSE '0,1' END AS frame_idxs,
+         |  CAST(LEAST($n, 4) AS BIGINT) AS n_sampled,
+         |  'true' AS frames_ok
+         |FROM ${ImageTable.duckSql()} ORDER BY image_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      ImageTable.df(s, dir).select("image_id", "phash", "w", "h")
+        .as[(String, Long, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, phash, w, h) =>
+            val n = (phash % 7 + 2).toInt
+            val idxs = if (n >= 4) (0 until 4).map(i => i * n / 4) else 0 until n
+            val ok = idxs.forall { f =>
+              val bytes = ImageCodec.encode("raw", s"$id#$f", w, h)
+              val (dw, dh, px) = ImageCodec.decode(bytes)
+              dw == w && dh == h && px.length == w * h * 3
+            }
+            (id, n.toLong, idxs.mkString(","), idxs.size.toLong, ok.toString)
+          }
+        }
+        .toDF("image_id", "n_frames", "frame_idxs", "n_sampled", "frames_ok")
+        .orderBy("image_id")
     }
   )
 }

@@ -53,4 +53,23 @@ class MultimodalSpec extends AnyFunSuite {
         concat(lit("caption of "), col("image_id"), lit(": "), col("snippet")))
     assert(badCaption.count() == 0)
   }
+
+  test("frame sampling: indices are uniform and sampled frames decode pixel-exact") {
+    val dir = "/root/testdata/sf0.001"
+    val fs = MultimodalQueries.defs.find(_.name == "m_frame_sample").get
+    val rows = fs.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val n = r.getAs[Long]("n_frames").toInt
+      val idxs = r.getAs[String]("frame_idxs").split(",").map(_.toInt).toSeq
+      assert(idxs == (if (n >= 4) (0 until 4).map(i => i * n / 4) else 0 until n),
+        s"bad sample plan for n=$n: $idxs")
+      assert(r.getAs[String]("frames_ok") == "true")
+    }
+    // per-frame pixel equality (beyond the gate's dimension check)
+    val id = rows.head.getAs[String]("image_id")
+    val truth = ImageCodec.pixels(s"$id#0", 16, 16)
+    val (_, _, px) = ImageCodec.decode(ImageCodec.encode("raw", s"$id#0", 16, 16))
+    assert(java.util.Arrays.equals(px, truth))
+  }
 }
