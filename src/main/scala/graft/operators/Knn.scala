@@ -106,7 +106,9 @@ object Knn {
     // uncertified set is tiny (asserted via certStats), so broadcast it;
     // the alternative (broadcasting the POINTS side of this non-equi
     // join) would ship the whole cloud
-    val certifiedQids = p.ranked.filter(col("final")).select("qid")
+    // broadcast the certified-qid list too: otherwise the anti join plans
+    // as a sort-merge with exchanges on both sides
+    val certifiedQids = broadcast(p.ranked.filter(col("final")).select("qid"))
     val brute = broadcast(p.qs.join(certifiedQids, Seq("qid"), "left_anti"))
       .join(p.pts, col("qid") =!= col("pid"))
       .withColumn("d", p.dist)

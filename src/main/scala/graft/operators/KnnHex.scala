@@ -107,8 +107,8 @@ object KnnHex {
         .agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
         .filter(col("n") === k && col("kth") < lit(lbSq(maxD + 1)))
         .select("qid")
-      val resolved = topk.join(certified, Seq("qid"), "left_semi")
-      val unresolved = qSet.join(certified, Seq("qid"), "left_anti")
+      val resolved = topk.join(broadcast(certified), Seq("qid"), "left_semi")
+      val unresolved = qSet.join(broadcast(certified), Seq("qid"), "left_anti")
       (resolved, unresolved)
     }
 
