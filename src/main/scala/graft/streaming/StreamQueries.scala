@@ -106,6 +106,44 @@ object StreamQueries {
       }(_.groupBy("user_id")
         .agg(max("n").as("n"), max("max_event_id").as("max_event_id"))
         .orderBy("user_id"))
+    },
+
+    // stream-stream inner join with watermarks on both sides and a
+    // time-range condition (views followed by a click within 10 minutes,
+    // per user) — the join-state operator of the streaming surface. The
+    // range condition is what lets the state store evict; on this bounded
+    // input nothing is late, so the result equals the batch join exactly.
+    QueryDef.sql("s_stream_join",
+      s"""SELECT v.user_id AS user_id, COUNT(*) AS n_pairs,
+         |  CAST(MIN(c.event_id) AS BIGINT) AS first_click,
+         |  CAST(MAX(v.event_id) AS BIGINT) AS last_view
+         |FROM events v JOIN events c
+         |  ON c.user_id = v.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+         |GROUP BY v.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      drain(s, "append") { _ =>
+        def src = s.readStream.schema(schema).parquet(staged(dir, "events"))
+          .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ (session is UTC)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        views.join(clicks,
+            col("c_user") === col("v_user") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+          .writeStream
+      }(_.groupBy(col("v_user"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("click_id").as("first_click"), max("view_id").as("last_view"))
+        .select(col("v_user").as("user_id"), col("n_pairs"),
+          col("first_click"), col("last_view"))
+        .orderBy("user_id"))
     }
   )
 }
