@@ -54,6 +54,18 @@ class OmaScanSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("scan also reads uncompressed (-0) containers") {
+    val raw = OmaPipeline.run(spark, OsmXml.write(Fixtures.fixture),
+      Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = false, oneElement = false)
+    val p = Files.createTempFile("omaraw", ".oma")
+    Files.write(p, raw.bytes)
+    val h = OmaScan.header(p.toString)
+    assert(h.compression == "NONE")
+    val got = OmaScan.scan(spark, p.toString).count()
+    val want = raw.parsed.chunks.map(_.blocks.map(_.slices.map(_.elements.size).sum).sum).sum
+    assert(got == want && want > 0)
+  }
+
   test("streamed sink (runToFile) is byte-identical to the in-memory assembly") {
     val out = Files.createTempFile("omastream", ".oma")
     val table = OmaPipeline.runToFile(spark, OsmXml.parse(OsmXml.write(Fixtures.fixture)),

@@ -114,6 +114,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(ivf.fn(spark, dir)).contains("CartesianProduct"))
   }
 
+  test("kNN plan broadcasts the probe side; no sort-merge joins anywhere") {
+    val pts = sources.ImageTable.df(spark, dir)
+      .select(col("doc_id").as("id"), col("lon"), col("lat"))
+    val qs = pts.filter(col("id") % 50 === 0)
+    val p = plan(operators.Knn(pts, qs, 3, operators.Knn.adaptiveCellSize(500, 3)))
+    // the point cloud must never shuffle for the probe join, and the
+    // tiny anti/semi joins must not plan as exchanged sort-merge joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pip mask expression stays codegen'd") {
     val df = sources.ImageTable.df(spark, dir)
       .select(operators.Pip.mask(col("lon"), col("lat"), operators.Pip.fixtureSet).as("m"))
