@@ -85,6 +85,9 @@ object Bench {
         .fn(s, sfDir),
       "cosine_dup" -> operators.EmbedQueries.defs.find(_.name == "e_cosine_dup").get
         .fn(s, sfDir),
+      // the ANN bucket join at 100x the base vector count (bench-only; the
+      // operator is oracle-gated at base scale by e_ann_topk)
+      "ann_scale" -> operators.EmbedQueries.annTopkScaled(s, sfDir, 100),
       "join_pricing" -> operators.RelationalQueries.defs.find(_.name == "q_join_pricing").get
         .fn(s, sfDir)
     )

@@ -99,6 +99,37 @@ object EmbedQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Bench-scale ANN: replicate each embedding `mult` times with a
+    * deterministic single-dimension perturbation (vec_id' = id*mult + rep,
+    * dim rep%64 nudged by rep%7-3 milli-units), then run the same
+    * bucket + 1-bit-multiprobe top-k join. Bench-only (the operator's
+    * correctness is oracle-gated at base scale by e_ann_topk); this
+    * measures the candidate-join shape at hundreds of thousands of
+    * vectors instead of 2k. */
+  def annTopkScaled(s: SparkSession, dir: String, mult: Int): DataFrame = {
+    val b = emb(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("v"))
+      .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+      .select(
+        (col("vec_id") * mult + col("rep")).as("vec_id"),
+        expr("transform(v, (x, i) -> CASE WHEN i = CAST(rep % 64 AS INT) THEN x + rep % 7 - 3 ELSE x END)").as("v"))
+      .withColumn("bucket", bitsCol(0, 8).cast("long"))
+    val q = b.filter(col("vec_id") % (25L * mult) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val probes = q
+      .withColumn("f", explode(array((Seq(0L) ++ (0 until 8).map(1L << _)).map(lit): _*)))
+      .withColumn("pb", expr("bucket ^ f"))
+      .select(col("qid"), col("qv"), col("pb"))
+    val p = b.select(col("vec_id").as("pid"), col("v").as("pv"), col("bucket").as("pbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot").desc, col("pid"))
+    probes.join(p, col("pb") === col("pbucket") && col("pid") =!= col("qid"))
+      .withColumn("dot", ip("qv", "pv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("pid"), col("dot"))
+  }
+
   /** Diagnostic: list-size balance of the IVF assignment at a given nlist:
     * (nlist, non-empty lists, max list size, min non-empty list size). */
   def ivfListStats(s: SparkSession, dir: String, nlistOverride: Option[Int]): (Int, Long, Long, Long) = {
