@@ -61,11 +61,17 @@ object BinaryScanQueries {
     OsmInput(None, nodes, ways, rels)
   }
 
-  /** Encode once per (sf dir, format) into a temp file; keyed by the full
-    * sanitized path so distinct dirs never collide. */
+  /** key = full sanitized path + source parquet mtime+size: distinct dirs
+    * never collide and a changed source regenerates. */
+  private def dirKey(dir: String): String = {
+    val src = Paths.get(dir, "part.parquet")
+    val stamp = s"${Files.getLastModifiedTime(src).toMillis}_${Files.size(src)}"
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + stamp
+  }
+
+  /** Encode once per (sf dir, format) into a temp file. */
   private def binFile(s: SparkSession, dir: String, fmt: String): String = synchronized {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_binscan_$key.$fmt")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_binscan_${dirKey(dir)}.$fmt")
     if (!Files.exists(p)) {
       val in = scanInput(s, dir)
       val bytes = if (fmt == "o5m") O5m.write(in) else Pbf.write(in, perBlock = 256)
@@ -134,8 +140,7 @@ object BinaryScanQueries {
   private val QueryBox = graft.core.Bbox(-900000000, 0, 900000000, 900000000)
 
   private def omaFile(s: SparkSession, dir: String): String = synchronized {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_omascan_$key.oma")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_omascan_${dirKey(dir)}.oma")
     if (!Files.exists(p)) {
       val in = scanInput(s, dir)
       val res = OmaPipeline.run(s, OsmInput(None, in.nodes, Nil, Nil),
