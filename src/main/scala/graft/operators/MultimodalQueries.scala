@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.sources.{ImageCodec, ImageTable}
+import graft.sources.{AudioCodec, AudioTable, ImageCodec, ImageTable}
 
 /** Multimodal path: the binary image column is decoded inside mapPartitions
   * (batched, executor-side — the real Spark plumbing for opaque media
@@ -155,6 +155,95 @@ object MultimodalQueries {
         }
         .toDF("image_id", "n_frames", "frame_idxs", "n_sampled", "frames_ok")
         .orderBy("image_id")
+    },
+
+    // audio metadata: decode the binary audio column in mapPartitions and
+    // check the container round-trips the schema-derived sample rate /
+    // count; duration is integer arithmetic on both sides. The third
+    // modality (image / video / audio) through the same opaque-binary
+    // plumbing.
+    QueryDef.sql("m_audio_meta",
+      s"""SELECT audio_id, CAST(sr AS BIGINT) AS sr,
+         |  CAST(n_samples AS BIGINT) AS n_samples, fmt,
+         |  CAST(n_samples * 1000 // sr AS BIGINT) AS dur_ms
+         |FROM ${AudioTable.duckSql()} ORDER BY audio_id""".stripMargin) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val aud = AudioTable.withBytes(AudioTable.df(s, dir))
+      aud.select("audio_id", "fmt", "bytes")
+        .as[(String, String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, fmt, bytes) =>
+            val (sr, pcm) = AudioCodec.decode(bytes)
+            (id, sr.toLong, pcm.length.toLong, fmt, pcm.length.toLong * 1000 / sr)
+          }
+        }
+        .toDF("audio_id", "sr", "n_samples", "fmt", "dur_ms")
+        .orderBy("audio_id")
+    },
+
+    // windowed audio feature extraction: frame decoded PCM into 256-sample
+    // windows, per-frame mean-square energy, per-clip aggregate + the
+    // per-row invariant flags (SNR >= 40 dB for lossy, byte-exact for
+    // lossless — re-proved in MultimodalSpec). Decoded samples are not
+    // SQL-derivable, so the oracle is the frozen expected table from the
+    // deterministic seed.
+    QueryDef.sql("m_audio_window", FrozenOracles.mAudioWindow) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      AudioTable.withBytes(AudioTable.df(s, dir))
+        .select("audio_id", "fmt", "bytes")
+        .as[(String, String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, fmt, bytes) =>
+            val (_, pcm) = AudioCodec.decode(bytes)
+            val nf = pcm.length / 256
+            var sumMs = 0L
+            var peakMs = 0L
+            var f = 0
+            while (f < nf) {
+              var sq = 0L
+              var i = f * 256
+              val end = i + 256
+              while (i < end) { val v = pcm(i).toLong; sq += v * v; i += 1 }
+              val ms = sq / 256
+              sumMs += ms
+              if (ms > peakMs) peakMs = ms
+              f += 1
+            }
+            val truth = AudioCodec.samples(id, pcm.length)
+            val snrOk = AudioCodec.snr(truth, pcm) >= 40.0
+            val exact = fmt != "pcm16" || java.util.Arrays.equals(
+              truth.map(_.toInt), pcm.map(_.toInt))
+            (id, nf.toLong, sumMs / math.max(1, nf), peakMs,
+              snrOk.toString, exact.toString)
+          }
+        }
+        .toDF("audio_id", "n_frames", "mean_ms", "peak_ms", "snr_ok", "lossless_exact")
+        .orderBy("audio_id")
+    },
+
+    // audio resample: 2x decimation in the same mapPartitions batch (the
+    // resample plumbing — sample count and rate halve, duration is
+    // preserved); integer checksum over the kept samples. Frozen oracle.
+    QueryDef.sql("m_audio_resample", FrozenOracles.mAudioResample) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      AudioTable.withBytes(AudioTable.df(s, dir))
+        .select("audio_id", "bytes")
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (sr, pcm) = AudioCodec.decode(bytes)
+            var sum = 0L
+            var n = 0L
+            var i = 0
+            while (i < pcm.length) { sum += pcm(i); n += 1; i += 2 }
+            (id, (sr / 2).toLong, n, sum)
+          }
+        }
+        .toDF("audio_id", "r_sr", "r_n", "sum_s")
+        .orderBy("audio_id")
     }
   )
 }

@@ -242,6 +242,81 @@ object RelationalQueries {
         .orderBy("f", "st")
     },
 
+    // As-of join: each click is matched to the latest prior-or-equal view
+    // by the same user. Spark-side this is NOT a join at all — the scalable
+    // shape is one union + one window pass (single shuffle on user_id,
+    // O(n log n) within partitions): views and clicks interleave in time
+    // order and `last(view, ignoreNulls)` carries the running most-recent
+    // view forward. The oracle is the naive O(n*m) inequality join + rank,
+    // so engine and oracle share no algorithm. Ties at equal ts resolve
+    // view-before-click, then by greatest view event_id; no-match clicks
+    // carry -1 / epoch sentinels (hash-stable, no NULL divergence).
+    QueryDef.sql("q_asof",
+      s"""WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         |j AS (SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+         |        v.event_id AS view_id, v.ts AS view_ts,
+         |        row_number() OVER (PARTITION BY c.event_id
+         |          ORDER BY v.ts DESC, v.event_id DESC) AS rk
+         |      FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts)
+         |SELECT click_id, user_id, click_ts,
+         |  COALESCE(view_id, -1) AS asof_view_id,
+         |  COALESCE(view_ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_view_ts
+         |FROM j WHERE rk = 1 ORDER BY click_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "view").cast("int").as("is_view"))
+      // views order before clicks at equal ts so an equal-ts view is visible
+      // to the click; among equal-ts views the largest event_id wins (last).
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("asof_view_id",
+          last(when(col("is_view") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("asof_view_ts",
+          last(when(col("is_view") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_view") === 0)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"),
+          coalesce(col("asof_view_id"), lit(-1L)).as("asof_view_id"),
+          coalesce(col("asof_view_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("asof_view_ts"))
+        .orderBy("click_id")
+    },
+
+    // Range (interval) join: clicks landing in each error's 5-minute
+    // half-open window [ts, ts+5min), per user. The scalable shape: both
+    // sides key on coarse 300-second buckets — each error interval covers
+    // exactly two buckets (exploded), each click exactly one — so the
+    // candidate join is a shuffle EQUI-join on (user_id, bucket) with the
+    // exact range predicate as a post-filter, never a cartesian/BNLJ
+    // (asserted in PlanSpec). The oracle is the naive inequality join.
+    QueryDef.sql("q_range_join",
+      s"""WITH e AS (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error'),
+         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+         |SELECT e.err_id, e.user_id, COUNT(c.ts) AS n_clicks
+         |FROM e LEFT JOIN c ON c.user_id = e.user_id
+         |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 5 MINUTE
+         |GROUP BY e.err_id, e.user_id ORDER BY err_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"),
+          floor(unix_timestamp(col("ts")) / 300).as("b0"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          floor(unix_timestamp(col("ts")) / 300).as("bucket"))
+      // [t, t+300s) spans buckets b0 and b0+1 exactly
+      val cand = errs
+        .withColumn("ebucket", explode(array(col("b0"), col("b0") + 1)))
+        .join(clicks, col("c_user") === col("user_id") && col("bucket") === col("ebucket"))
+        .filter(col("c_ts") >= col("err_ts") &&
+          col("c_ts") < col("err_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy("err_id").agg(count(lit(1)).as("n"))
+      errs.join(cand, Seq("err_id"), "left")
+        .select(col("err_id"), col("user_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+        .orderBy("err_id")
+    },
+
     // P1 analog — the 49-key discardable-tag filter
     QueryDef.sql("o_tag_filter", {
       val pool = KeyPool.map(k => s"'$k'").mkString(", ")

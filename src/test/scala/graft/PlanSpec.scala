@@ -114,6 +114,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(ivf.fn(spark, dir)).contains("CartesianProduct"))
   }
 
+  test("as-of join is join-free (one window pass); range join is an equi-join") {
+    // the as-of operator's scalable shape: union + window, no join operator
+    val asof = operators.RelationalQueries.defs.find(_.name == "q_asof").get
+    val pa = plan(asof.fn(spark, dir))
+    assert(!pa.contains("Join"), pa)
+    assert(pa.contains("Window"), pa)
+    // the interval join must plan as a bucket equi-join, never cartesian/BNLJ
+    val rng = operators.RelationalQueries.defs.find(_.name == "q_range_join").get
+    val pr = plan(rng.fn(spark, dir))
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
+  }
+
   test("kNN plan broadcasts the probe side; no sort-merge joins anywhere") {
     val pts = sources.ImageTable.df(spark, dir)
       .select(col("doc_id").as("id"), col("lon"), col("lat"))

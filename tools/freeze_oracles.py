@@ -36,6 +36,11 @@ SPECS = [
     ("m_tile_raster", "mTileRaster", True,
      [("tile", "BIGINT"), ("n_images", "BIGINT"), ("sum_luma", "BIGINT"),
       ("min_luma", "BIGINT"), ("max_luma", "BIGINT")]),
+    ("m_audio_window", "mAudioWindow", True,
+     [("audio_id", "VARCHAR"), ("n_frames", "BIGINT"), ("mean_ms", "BIGINT"),
+      ("peak_ms", "BIGINT"), ("snr_ok", "VARCHAR"), ("lossless_exact", "VARCHAR")]),
+    ("m_audio_resample", "mAudioResample", True,
+     [("audio_id", "VARCHAR"), ("r_sr", "BIGINT"), ("r_n", "BIGINT"), ("sum_s", "BIGINT")]),
     ("oma_pipeline", "omaPipeline", False,
      [("chunk", "BIGINT"), ("ctype", "VARCHAR"), ("n_blocks", "BIGINT"),
       ("n_slices", "BIGINT"), ("n_elements", "BIGINT")]),
