@@ -86,6 +86,57 @@ object DocQueries {
     (w, bands)
   }
 
+  /** Confirmed near-dup pairs (a < b, J >= 0.9) — the shared core of
+    * d_minhash_lsh and the connected-components grouping d_dup_groups.
+    * Columns: a, b, i, na, nb.
+    */
+  private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (w, bands) = minhashWordsAndBands(s, dir)
+    val bc = cappedBuckets(bands, "bucket", LshBucketCap)
+    val cand = bc.as("x").join(bc.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(w.select(col("doc_id").as("a"), col("word")), Seq("a"))
+      .join(w.select(col("doc_id").as("b"), col("word")), Seq("b", "word"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(lit(19) * col("i") >= lit(9) * (col("na") + col("nb")))
+      .select("a", "b", "i", "na", "nb")
+  }
+
+  /** The minhash-LSH oracle pipeline as a CTE list ending in `inter` + `sz`
+    * (shared verbatim by the d_minhash_lsh and d_dup_groups oracles). */
+  private def minhashOracleCtes: String = {
+    val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+      s"MIN(($a * hw + $b) % $P) AS m$j" }.mkString(", ")
+    val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
+      val cols = (0 until BandRows).map(r => s"m${BandRows * bd + r}").mkString(" || ':' || ")
+      s"SELECT doc_id, '$bd:' || $cols AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       |w AS (SELECT DISTINCT doc_id, unnest($duckWords) AS word FROM all_docs),
+       |h AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM w),
+       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+       |b AS ($bands),
+       |okb AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= $LshBucketCap),
+       |bc AS (SELECT b.doc_id, b.bucket FROM b JOIN okb USING (bucket)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bc x JOIN bc y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, COUNT(*) AS i
+       |          FROM cand c JOIN w x ON x.doc_id = c.a
+       |                      JOIN w y ON y.doc_id = c.b AND y.word = x.word
+       |          GROUP BY c.a, c.b)""".stripMargin
+  }
+
   /** Diagnostic: (largest band-bucket size, buckets dropped by the cap). */
   def minhashBucketStats(s: SparkSession, dir: String): (Long, Long) = {
     val sizes = minhashWordsAndBands(s, dir)._2
@@ -237,52 +288,63 @@ object DocQueries {
     // in the oracle, so the gate stays bit-exact at every scale; dropped
     // buckets are observable via minhashBucketStats (0 at the sf0.01 gate
     // scale, where the largest bucket holds 104 docs).
-    QueryDef.sql("d_minhash_lsh", {
-      val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
-        s"MIN(($a * hw + $b) % $P) AS m$j" }.mkString(", ")
-      val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
-        val cols = (0 until BandRows).map(r => s"m${BandRows * bd + r}").mkString(" || ':' || ")
-        s"SELECT doc_id, '$bd:' || $cols AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH all_docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
-         |w AS (SELECT DISTINCT doc_id, unnest($duckWords) AS word FROM all_docs),
-         |h AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM w),
-         |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-         |b AS ($bands),
-         |okb AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= $LshBucketCap),
-         |bc AS (SELECT b.doc_id, b.bucket FROM b JOIN okb USING (bucket)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bc x JOIN bc y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
-         |inter AS (SELECT c.a, c.b, COUNT(*) AS i
-         |          FROM cand c JOIN w x ON x.doc_id = c.a
-         |                      JOIN w y ON y.doc_id = c.b AND y.word = x.word
-         |          GROUP BY c.a, c.b)
+    QueryDef.sql("d_minhash_lsh",
+      s"""WITH $minhashOracleCtes
          |SELECT a, b, i, sa.n AS na, sb.n AS nb
          |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE 19 * i >= 9 * (sa.n + sb.n)
-         |ORDER BY a, b""".stripMargin
-    }) { (s, dir) =>
-      val (w, bands) = minhashWordsAndBands(s, dir)
-      val bc = cappedBuckets(bands, "bucket", LshBucketCap)
-      val cand = bc.as("x").join(bc.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(w.select(col("doc_id").as("a"), col("word")), Seq("a"))
-        .join(w.select(col("doc_id").as("b"), col("word")), Seq("b", "word"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-        .filter(lit(19) * col("i") >= lit(9) * (col("na") + col("nb")))
-        .select("a", "b", "i", "na", "nb")
-        .orderBy("a", "b")
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      minhashConfirmedPairs(s, dir).orderBy("a", "b")
+    },
+
+    // near-dup GROUPING: connected components over the confirmed minhash
+    // pair graph — the step a dedup pipeline actually needs after pair
+    // finding (pairs -> groups -> one canonical representative per group).
+    // Spark side is iterative min-label propagation (HashMin), the standard
+    // shuffle-native CC algorithm at scale: each round is one equi-join +
+    // one min-aggregate, lineage truncated per round, converging in
+    // O(component diameter) rounds (near-dup clusters are dense, so 2-3).
+    // The oracle computes the same fixpoint by a completely different
+    // algorithm — a recursive-CTE transitive closure + MIN — so engine and
+    // oracle share nothing beyond the pair CTEs. Output is one row per
+    // component: representative (= min doc_id), member count, and an
+    // order-free xor digest of the member set (hash-stable membership
+    // without quadratic row lists).
+    QueryDef.sql("d_dup_groups",
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |conf AS (SELECT a, b
+         |         FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |         WHERE 19 * i >= 9 * (sa.n + sb.n)),
+         |e AS (SELECT a AS s, b AS d FROM conf UNION SELECT b, a FROM conf),
+         |nn AS (SELECT DISTINCT s AS id FROM e),
+         |reach AS (SELECT id, id AS r FROM nn
+         |          UNION
+         |          SELECT e.d AS id, reach.r FROM reach JOIN e ON e.s = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT component, COUNT(*) AS n_members,
+         |  CAST(bit_xor(id) AS BIGINT) AS member_xor
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (s, dir) =>
+      val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lab", col("id"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), col("lab"))
+        val next = labels.union(prop)
+          .groupBy("id").agg(min("lab").as("lab"))
+          .localCheckpoint()
+        changed = next.join(labels.select(col("id"), col("lab").as("old")), Seq("id"))
+          .filter(col("lab") < col("old")).count()
+        labels = next
+      }
+      labels.groupBy(col("lab").as("component"))
+        .agg(count(lit(1)).as("n_members"), expr("bit_xor(id)").as("member_xor"))
+        .orderBy("component")
     },
 
     // rare-word Jaccard near-dup: pairs with J >= 0.5 over the DF-CAPPED
