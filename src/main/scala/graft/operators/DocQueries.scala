@@ -347,6 +347,60 @@ object DocQueries {
         .orderBy("component")
     },
 
+    // deterministic stratified sampling + train/val/test split — the
+    // selection machinery of a training-data pipeline. Sampling is a pure
+    // hash-threshold per row (per-language rates: en 100%, de/fr 50%,
+    // es 25%, else 10%), the split is an independent hash in 98/1/1
+    // proportions; both are map-side-only decisions (no shuffle until the
+    // final count), reproducible bit-for-bit in the oracle, and stable
+    // under any row order — exactly what resumable 100 TB sampling needs.
+    QueryDef.sql("d_split_sample", {
+      val h = PortableHash.duckSql("('smp:' || CAST(doc_id AS VARCHAR))")
+      val hs = PortableHash.duckSql("('spl:' || CAST(doc_id AS VARCHAR))")
+      s"""SELECT lang, split, COUNT(*) AS n, CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN $hs % 100 < 98 THEN 'train'
+         |         WHEN $hs % 100 = 98 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents
+         |  WHERE $h % 100 < (CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+         |                    WHEN 'fr' THEN 50 WHEN 'es' THEN 25 ELSE 10 END)) t
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+    }) { (s, dir) =>
+      val h = expr(PortableHash.sparkSql("('smp:' || CAST(doc_id AS STRING))"))
+      val hs = expr(PortableHash.sparkSql("('spl:' || CAST(doc_id AS STRING))"))
+      val rate = when(col("lang") === "en", 100).when(col("lang") === "de", 50)
+        .when(col("lang") === "fr", 50).when(col("lang") === "es", 25).otherwise(10)
+      docs(s, dir)
+        .filter(h % 100 < rate)
+        .withColumn("split",
+          when(hs % 100 < 98, "train").when(hs % 100 === 98, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy("lang", "split")
+    },
+
+    // vocabulary build: top-40 words by document frequency with a
+    // deterministic tie-break (df DESC, word ASC) — one map-side explode +
+    // one DF aggregation + orderBy().limit(), which Spark plans as
+    // TakeOrderedAndProject: per-partition top-k heaps merged at the
+    // driver, so the full distinct-word table never funnels through one
+    // partition (a bare row_number window with no PARTITION BY would).
+    // Rank is assigned afterwards over the 40 survivors only.
+    QueryDef.sql("d_vocab",
+      s"""SELECT CAST(rk AS BIGINT) AS rk, word, df FROM (
+         |  SELECT word, df, row_number() OVER (ORDER BY df DESC, word) AS rk
+         |  FROM (SELECT word, COUNT(*) AS df FROM $duckDocWords w GROUP BY word) t) r
+         |WHERE rk <= 40 ORDER BY rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val top = docWords(s, dir).groupBy("word").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word")).limit(40)
+      top.withColumn("rk",
+          row_number().over(Window.orderBy(col("df").desc, col("word"))))
+        .select(col("rk").cast("long").as("rk"), col("word"), col("df"))
+        .orderBy("rk")
+    },
+
     // rare-word Jaccard near-dup: pairs with J >= 0.5 over the DF-CAPPED
     // word sets (words in more than 20% of the subset's documents are
     // dropped before the self-equi-join on `word`). The cap is the skew
