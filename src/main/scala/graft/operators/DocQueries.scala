@@ -347,6 +347,63 @@ object DocQueries {
         .orderBy("component")
     },
 
+    // PII scrubbing: redact email-shaped and long-digit-run tokens (the
+    // standard pre-training cleanup pass), map-side regexp_replace only —
+    // no shuffle until the summary aggregate. Counts are derived from
+    // length deltas so both engines agree exactly; the per-row scrubbed
+    // text is hash-gated through its md5.
+    QueryDef.sql("d_pii_scrub", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+      val digits = "[0-9]{6,}"
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |      '$digits', '<NUM>', 'g')) AS scrubbed_md5,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$digits')) AS BIGINT) AS n_num
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+      val digits = "[0-9]{6,}"
+      docs(s, dir).select(col("doc_id"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>").cast("binary")).as("scrubbed_md5"),
+        size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("long").as("n_email"),
+        size(expr(s"regexp_extract_all(text, '$digits', 0)")).cast("long").as("n_num"))
+        .orderBy("doc_id")
+    },
+
+    // exact discrete quantiles of document length (the cutoff-picking step
+    // of a quality filter): p_q = smallest len whose cumulative count
+    // reaches ceil(q*n). Computed over the LENGTH HISTOGRAM (distinct
+    // lengths only), so the cumulative window runs on a domain-sized frame
+    // — the per-document mass is reduced map-side first and never reaches
+    // a single partition. All rank arithmetic is integer ceil-division,
+    // bit-exact in both engines; no interpolation, no approx sketches.
+    QueryDef.sql("q_quantiles",
+      s"""WITH lens AS (SELECT CAST(length(text) AS BIGINT) AS len FROM documents),
+         |hist AS (SELECT len, COUNT(*) AS c FROM lens GROUP BY len),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+         |cum AS (SELECT len, CAST(SUM(c) OVER (ORDER BY len) AS BIGINT) AS cum FROM hist)
+         |SELECT (SELECT n FROM tot) AS n,
+         |  (SELECT MIN(len) FROM cum WHERE cum >= ((SELECT n FROM tot) + 1) // 2) AS p50,
+         |  (SELECT MIN(len) FROM cum WHERE cum >= (9 * (SELECT n FROM tot) + 9) // 10) AS p90,
+         |  (SELECT MIN(len) FROM cum WHERE cum >= (99 * (SELECT n FROM tot) + 99) // 100) AS p99""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = docs(s, dir)
+        .select(length(col("text")).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("c"))
+      val tot = hist.agg(sum("c").cast("long").as("n"))
+      val cum = hist
+        .withColumn("cum", sum("c").over(
+          Window.orderBy("len").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+      cum.agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("len"))).as("p50"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("len"))).as("p90"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("len"))).as("p99"))
+    },
+
     // deterministic stratified sampling + train/val/test split — the
     // selection machinery of a training-data pipeline. Sampling is a pure
     // hash-threshold per row (per-language rates: en 100%, de/fr 50%,
