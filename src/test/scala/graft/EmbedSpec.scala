@@ -62,6 +62,34 @@ class EmbedSpec extends AnyFunSuite {
     assert(recall >= 0.05, f"recall collapsed: $recall%.2f")
   }
 
+  test("recall on clustered embeddings (the realistic corpus shape) is high") {
+    import spark.implicits._
+    // 500 vectors in 20 tight clusters: centroid components are +-1.0 sign
+    // patterns, members add +-0.05 noise — so same-cluster vectors almost
+    // always share hyperplane signs and meet in the probe buckets. This is
+    // the geometry of real embedding corpora (which cluster), vs the
+    // near-random sf0.001 vectors of the floor test above (LSH worst case).
+    def centroid(c: Int): IndexedSeq[Float] = (0 until 64).map { d =>
+      if (graft.core.PortableHash.h60(s"cc:$c:$d") % 2 == 0) 1.0f else -1.0f
+    }
+    val vecs = (0 until 500).map { i =>
+      val c = i % 20
+      val base = centroid(c)
+      val v = (0 until 64).map { d =>
+        base(d) + (graft.core.PortableHash.h60(s"cn:$i:$d") % 101 - 50) / 1000.0f
+      }
+      (i.toLong, v, c.toLong)
+    }
+    val dir = Files.createTempDirectory("embedclu").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val a = ann.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = brute.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (a intersect b).size.toDouble / b.size
+    info(f"ANN recall@3 on 20-cluster corpus: $recall%.2f (${(a intersect b).size}/${b.size})")
+    assert(recall >= 0.6, f"clustered recall too low: $recall%.2f")
+  }
+
   test("IVF stays correct across nlist configurations; list balance logged") {
     val dir = "/root/testdata/sf0.01"
     // exact-dot consistency vs brute force at BOTH forced list counts:
