@@ -88,6 +88,14 @@ class EmbedSpec extends AnyFunSuite {
     val recall = (a intersect b).size.toDouble / b.size
     info(f"ANN recall@3 on 20-cluster corpus: $recall%.2f (${(a intersect b).size}/${b.size})")
     assert(recall >= 0.6, f"clustered recall too low: $recall%.2f")
+    // the IVF family on the same clustered corpus: sampled centroids land
+    // in clusters proportionally to mass, so 2-list probing finds the
+    // same-cluster neighbourhood
+    val ivf = EmbedQueries.ivfTopk(spark, dir, None).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = (ivf intersect b).size.toDouble / b.size
+    info(f"IVF recall@3 on 20-cluster corpus: $ivfRecall%.2f (${(ivf intersect b).size}/${b.size})")
+    assert(ivfRecall >= 0.5, f"clustered IVF recall too low: $ivfRecall%.2f")
   }
 
   test("IVF stays correct across nlist configurations; list balance logged") {

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import graft.core.Bbox
 import graft.oma._
 
@@ -99,5 +99,17 @@ class OmaScanSpec extends AnyFunSuite {
     val wantIds = fullRows.filter(inside).map(r => (r.ctype, r.id)).toSet
     val gotIds = rows.map(r => (r.ctype, r.id)).toSet
     assert(wantIds.subsetOf(gotIds), s"missing: ${wantIds -- gotIds}")
+  }
+
+  test("malformed containers fail loudly, not silently") {
+    // wrong magic bytes -> clear refusal
+    val bad = Files.createTempFile("badmagic", ".oma")
+    Files.write(bad, "NOT-AN-OMA-FILE-PADDED-TO-29-BYTES!!".getBytes)
+    val e1 = intercept[IllegalArgumentException](OmaScan.header(bad.toString))
+    assert(e1.getMessage.contains("bad magic"))
+    // truncated below the fixed header -> I/O error, never an empty result
+    val trunc = Files.createTempFile("trunc", ".oma")
+    Files.write(trunc, Files.readAllBytes(Paths.get(path)).take(10))
+    intercept[Exception](OmaScan.header(trunc.toString))
   }
 }
