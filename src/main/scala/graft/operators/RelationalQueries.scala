@@ -317,6 +317,26 @@ object RelationalQueries {
         .orderBy("err_id")
     },
 
+    // CUBE over (returnflag, ship year): all four grouping-set combinations
+    // in one pass (sentinel-coalesced like q_rollup so ordering and hashes
+    // agree across engines)
+    QueryDef.sql("q_cube",
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS f,
+         |  COALESCE(CAST(y AS VARCHAR), 'ALL') AS yr,
+         |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM (SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS y, l_quantity
+         |      FROM lineitem) t
+         |GROUP BY CUBE(l_returnflag, y)
+         |ORDER BY f, yr""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("y"), col("l_quantity"))
+        .cube("l_returnflag", "y")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("f"),
+          coalesce(col("y").cast("string"), lit("ALL")).as("yr"), col("n"), col("sum_qty"))
+        .orderBy("f", "yr")
+    },
+
     // P1 analog — the 49-key discardable-tag filter
     QueryDef.sql("o_tag_filter", {
       val pool = KeyPool.map(k => s"'$k'").mkString(", ")
