@@ -156,11 +156,51 @@ object O5m {
     OsmInput(bounds, nodes.result(), ways.result(), rels.result(), discarded)
   }
 
+  /** Segment skim for parallel decode: a single IO-only pass that hops
+    * record to record (1-byte id + varint length for ids < 0xf0 — no
+    * payload decode, no string table, no delta state) and records the
+    * positions of 0xff reset datasets. Every segment starting at a reset
+    * is independently decodable, because a spec-compliant writer clears
+    * its delta counters AND its string table at each reset — pair
+    * back-references never cross one (our writer enforces this; the
+    * reference reader's reset, O5MReader.java:91-100, clears the deltas
+    * and simply never sees a cross-reset reference from a compliant file).
+    * Returns [from, until) byte ranges; a file with no mid-file resets
+    * yields one segment (the sequential case).
+    */
+  def segments(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val cuts = Seq.newBuilder[Int]
+    val in = new In(bytes)
+    while (!in.atEnd) {
+      val at = in.pos
+      val eid = in.byte()
+      if (eid == 0xff) { if (at > 0) cuts += at }
+      else if (eid < 0xf0) { val len = in.u().toInt; in.pos += len }
+      // 0xfe end-of-file and other bare datasets: no body
+    }
+    val bounds = (0 +: cuts.result()) :+ bytes.length
+    bounds.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq.filter(s => s._2 > s._1)
+  }
+
+  /** Merge per-segment decodes (segment order) back into one input. */
+  def merge(parts: Seq[OsmInput]): OsmInput =
+    OsmInput(
+      parts.flatMap(_.bounds).headOption,
+      parts.flatMap(_.nodes),
+      parts.flatMap(_.ways),
+      parts.flatMap(_.rels),
+      parts.map(_.discardedTags).sum)
+
   // -------------------------------------------------------------------------
   // Encoder (fixture generation; golden-diffed against oma.jar's decoder)
   // -------------------------------------------------------------------------
 
-  def write(input: OsmInput): Array[Byte] = {
+  /** `resetEvery > 0` emits a 0xff reset dataset (and clears ALL writer
+    * state: deltas + the pair table) every that-many elements — the
+    * spec-compliant chunking real tools (osmconvert) produce, and what
+    * makes [[segments]]-parallel decoding possible. 0 = single segment.
+    */
+  def write(input: OsmInput, resetEvery: Int = 0): Array[Byte] = {
     var lastId = 0L; var lastTs = 0L; var lastCs = 0L
     var lastLon = 0L; var lastLat = 0L
     val refid = Array.fill(3)(0L)
@@ -209,6 +249,18 @@ object O5m {
     }
 
     val out = new Out
+    var sinceReset = 0
+    def maybeReset(): Unit = {
+      if (resetEvery > 0 && sinceReset >= resetEvery) {
+        out.byte(0xff)
+        lastId = 0; lastTs = 0; lastCs = 0; lastLon = 0; lastLat = 0
+        refid(0) = 0; refid(1) = 0; refid(2) = 0
+        tablePos.clear(); counter = 0
+        sinceReset = 0
+      }
+      sinceReset += 1
+    }
+
     out.raw(Signature)
     input.bounds.foreach { b =>
       val body = new Out
@@ -216,6 +268,7 @@ object O5m {
       out.byte(0xdb).u(body.size).raw(body)
     }
     input.nodes.foreach { n =>
+      maybeReset()
       val body = new Out
       basicInfo(body, n.meta)
       body.s(n.lon - lastLon); lastLon = n.lon
@@ -224,6 +277,7 @@ object O5m {
       out.byte(0x10).u(body.size).raw(body)
     }
     input.ways.foreach { w =>
+      maybeReset()
       val body = new Out
       basicInfo(body, w.meta)
       val refs = new Out
@@ -233,6 +287,7 @@ object O5m {
       out.byte(0x11).u(body.size).raw(body)
     }
     input.rels.foreach { r =>
+      maybeReset()
       val body = new Out
       basicInfo(body, r.meta)
       val ms = new Out

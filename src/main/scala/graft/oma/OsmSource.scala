@@ -40,16 +40,29 @@ object OsmSource {
         r.meta.changeset, r.meta.uid, r.meta.user, 0, 0,
         Nil, r.members.map(_.mtype), r.members.map(_.ref), r.members.map(_.role), r.tags))
 
-  /** O5M scan: the format's cross-element delta + string-table state makes
-    * it inherently sequential (O5MReader.java:33-34), so the decode runs as
-    * ONE executor task — the same constraint the single-threaded reference
-    * has — and downstream repartitioning distributes the result.
+  /** O5M scan. The format's cross-element delta + string-table state is
+    * sequential WITHIN a reset segment (O5MReader.java:33-34), but 0xff
+    * reset datasets clear all of it — so the driver runs an IO-only skim
+    * (`O5m.segments`: 1-byte id + varint length per record, no payload
+    * decode) and executors decode the segments in parallel, each reading
+    * just its own byte range. A file without mid-file resets degrades to
+    * the single-task sequential decode, which is also the reference's
+    * behavior.
     */
-  def o5mScan(spark: SparkSession, path: String): Dataset[OsmRow] = {
+  def o5mScan(spark: SparkSession, path: String, parts: Int = 0): Dataset[OsmRow] = {
     import spark.implicits._
-    spark.createDataset(Seq(path)).flatMap { p =>
-      toRows(O5m.decode(Files.readAllBytes(Paths.get(p))))
-    }
+    val segs = O5m.segments(Files.readAllBytes(Paths.get(path)))
+    val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    spark.createDataset(segs.map(s => (path, s._1, s._2)))
+      .repartition(math.min(n, math.max(1, segs.size)))
+      .flatMap { case (p, from, until) =>
+        val raf = new java.io.RandomAccessFile(p, "r")
+        try {
+          val slice = new Array[Byte](until - from)
+          raf.seek(from); raf.readFully(slice)
+          toRows(O5m.decode(slice))
+        } finally raf.close()
+      }
   }
 
   /** PBF scan: blobs are independently decodable (own string table, own

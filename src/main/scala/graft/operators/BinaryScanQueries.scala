@@ -69,12 +69,15 @@ object BinaryScanQueries {
     dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + stamp
   }
 
-  /** Encode once per (sf dir, format) into a temp file. */
+  /** Encode once per (sf dir, format) into a temp file. The o5m fixture is
+    * written with a reset every 256 elements (the chunking real tools
+    * emit), so the gate exercises the segment-PARALLEL o5m decode; "v2" in
+    * the name keys the cache to this writer config. */
   private def binFile(s: SparkSession, dir: String, fmt: String): String = synchronized {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_binscan_${dirKey(dir)}.$fmt")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_binscan2_${dirKey(dir)}.$fmt")
     if (!Files.exists(p)) {
       val in = scanInput(s, dir)
-      val bytes = if (fmt == "o5m") O5m.write(in) else Pbf.write(in, perBlock = 256)
+      val bytes = if (fmt == "o5m") O5m.write(in, resetEvery = 256) else Pbf.write(in, perBlock = 256)
       Files.write(p, bytes)
     }
     p.toString

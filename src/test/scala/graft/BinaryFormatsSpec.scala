@@ -60,6 +60,23 @@ class BinaryFormatsSpec extends AnyFunSuite {
     assertSameInput(O5m.decode(bytes), expected)
   }
 
+  test("reset-ful o5m: round trip, segment skim, and parallel-merge equality") {
+    val bytes = O5m.write(Fixtures.fixture, resetEvery = 3) // many mid-file resets
+    // sequential decode of a reset-ful file is unchanged
+    assertSameInput(O5m.decode(bytes), expected)
+    // the IO-only skim finds the resets; each segment decodes independently
+    val segs = O5m.segments(bytes)
+    assert(segs.size >= 5, s"only ${segs.size} segments")
+    assert(segs.head._1 == 0 && segs.last._2 == bytes.length)
+    assert(segs.sliding(2).forall { case Seq(a, b) => a._2 == b._1 }, "gaps between segments")
+    val merged = O5m.merge(segs.map { case (from, until) =>
+      O5m.decode(java.util.Arrays.copyOfRange(bytes, from, until))
+    })
+    assertSameInput(merged, expected)
+    // a file with no mid-file resets is one segment (sequential fallback)
+    assert(O5m.segments(O5m.write(Fixtures.fixture)).size == 1)
+  }
+
   test("pbf round trip reproduces the XML-parsed fixture exactly (multi-blob)") {
     val bytes = Pbf.write(Fixtures.fixture, perBlock = 16) // force several blobs
     assert(Pbf.isPbf(bytes))

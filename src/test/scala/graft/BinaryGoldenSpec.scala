@@ -97,6 +97,13 @@ class BinaryGoldenSpec extends AnyFunSuite {
     diff("o5m-vs-pbf", canon(o5mOracle), canon(pbfOracle))
   }
 
+  test("golden: oma.jar reads our reset-ful .o5m identically to the plain one") {
+    // the reference's reset (O5MReader.java:91-100) must accept the 0xff
+    // chunking our parallel-decodable writer emits
+    val resetful = runOracle(O5m.write(Fixtures.fixture, resetEvery = 3), "o5mr")
+    diff("o5m-resetful", canon(resetful), canon(o5mOracle))
+  }
+
   test("distributed scans return the same element multiset as the sequential decode") {
     val dir = Files.createTempDirectory("omascan")
     val o5mF = dir.resolve("f.o5m"); Files.write(o5mF, o5mBytes)
