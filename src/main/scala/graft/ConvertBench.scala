@@ -69,7 +69,10 @@ object ConvertBench {
     val dir = Files.createTempDirectory("convbench")
     val input = synth(nNodes, nNodes / 10, nNodes / 250)
     val o5m = dir.resolve("planet.o5m")
-    Files.write(o5m, O5m.write(input))
+    // reset every 4096 elements — the chunking real o5m tools emit, and
+    // what lets our ingest decode segments in parallel (oma.jar reads the
+    // same file; its reader accepts resets but stays single-threaded)
+    Files.write(o5m, O5m.write(input, resetEvery = 4096))
     val o5mBytes = Files.size(o5m)
 
     val refBbs = Paths.get("/root/reference/default.bbs")

@@ -21,10 +21,25 @@ final case class OsmRow(
   */
 object OsmSource {
 
-  /** S1 format dispatch — magic-byte sniff, then full parse. */
+  /** S1 format dispatch — magic-byte sniff, then full parse. The o5m
+    * branch decodes reset segments on a local thread pool (ordered merge;
+    * identical to the sequential pass), mirroring Pbf.decode's per-blob
+    * parallelism — so the to-driver ingest of both binary formats uses
+    * every core while the reference stays single-threaded.
+    */
   def read(bytes: Array[Byte]): OsmInput =
-    if (O5m.isO5m(bytes)) O5m.decode(bytes)
-    else if (Pbf.isPbf(bytes)) Pbf.decode(bytes)
+    if (O5m.isO5m(bytes)) {
+      val segs = O5m.segments(bytes)
+      if (segs.size <= 1) O5m.decode(bytes)
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        O5m.merge(Await.result(Future.sequence(segs.map { case (from, until) =>
+          Future(O5m.decode(java.util.Arrays.copyOfRange(bytes, from, until)))
+        }), Duration.Inf))
+      }
+    } else if (Pbf.isPbf(bytes)) Pbf.decode(bytes)
     else OsmXml.parse(new String(bytes, StandardCharsets.UTF_8))
 
   def read(path: String): OsmInput = read(Files.readAllBytes(Paths.get(path)))

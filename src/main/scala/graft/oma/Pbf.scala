@@ -275,32 +275,39 @@ object Pbf {
     (nodes.result(), ways.result(), rels.result())
   }
 
-  /** Driver-side full decode (fixture scale) with the ingest tag filter. */
+  /** Driver-side full decode with the ingest tag filter. Data blobs are
+    * independently decodable (own string table, own delta chains), so they
+    * decode on a local thread pool — ordered merge keeps the result
+    * identical to the sequential pass. (The distributed path is
+    * OsmSource.pbfScan; this is the to-driver ingest used by the CLI and
+    * the golden diffs.)
+    */
   def decode(bytes: Array[Byte]): OsmInput = {
-    var discarded = 0L
-    def keep(m: Map[String, String]): Map[String, String] = {
-      val kept = m.filterNot(t => OsmXml.Discardable(t._1))
-      discarded += m.size - kept.size
-      kept
-    }
-    var bounds: Option[Bbox] = None
-    val nodes = Seq.newBuilder[OsmNode]
-    val ways = Seq.newBuilder[OsmWay]
-    val rels = Seq.newBuilder[OsmRelation]
-    frames(bytes).foreach { f =>
-      val blob = java.util.Arrays.copyOfRange(bytes, f.offset.toInt, f.offset.toInt + f.len)
-      val block = unwrapBlob(blob)
-      f.btype match {
-        case "OSMHeader" => bounds = decodeHeaderBlock(block).orElse(bounds)
-        case "OSMData" =>
-          val (n, w, r) = decodePrimitiveBlock(block)
-          nodes ++= n.map(x => x.copy(tags = keep(x.tags)))
-          ways ++= w.map(x => x.copy(tags = keep(x.tags)))
-          rels ++= r.map(x => x.copy(tags = keep(x.tags)))
-        case other => sys.error(s"unknown PBF type: $other")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = frames(bytes)
+    fs.foreach(f => require(f.btype == "OSMHeader" || f.btype == "OSMData",
+      s"unknown PBF type: ${f.btype}"))
+    def block(f: Frame): Array[Byte] =
+      unwrapBlob(java.util.Arrays.copyOfRange(bytes, f.offset.toInt, f.offset.toInt + f.len))
+    val bounds = fs.filter(_.btype == "OSMHeader").flatMap(f => decodeHeaderBlock(block(f))).headOption
+    val parts = Await.result(Future.sequence(fs.filter(_.btype == "OSMData").map { f =>
+      Future {
+        val (n, w, r) = decodePrimitiveBlock(block(f))
+        var d = 0L
+        def keep(m: Map[String, String]): Map[String, String] = {
+          val kept = m.filterNot(t => OsmXml.Discardable(t._1))
+          d += m.size - kept.size
+          kept
+        }
+        (n.map(x => x.copy(tags = keep(x.tags))),
+          w.map(x => x.copy(tags = keep(x.tags))),
+          r.map(x => x.copy(tags = keep(x.tags))), d)
       }
-    }
-    OsmInput(bounds, nodes.result(), ways.result(), rels.result(), discarded)
+    }), Duration.Inf)
+    OsmInput(bounds, parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3),
+      parts.map(_._4).sum)
   }
 
   // -------------------------------------------------------------------------
