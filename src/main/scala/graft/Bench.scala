@@ -159,6 +159,41 @@ object Bench {
       operators.Knn.certStats(pts, q, 3, operators.Knn.adaptiveCellSize(nRows, 3))
     }.getOrElse((-1L, -1L))
 
+    // EXTRA (not in `total`, so the headline stays comparable across
+    // rounds): the round-3-continuation operators at scale — the join-free
+    // as-of join and the bucketed range join on a 10x-user events table
+    // (1M events), and near-dup connected components over the sf0.1 pair
+    // graph (32.8k pairs / 490 components). Warm-up + min of 2.
+    val extra: Seq[(String, () => DataFrame)] = {
+      def events10x = {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("rep", explode(sequence(lit(0), lit(9))))
+          .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
+          .withColumn("event_id", col("event_id") + col("rep") * 1000000000L)
+          .drop("rep")
+        ev
+      }
+      Seq(
+        "asof_1m" -> (() => operators.RelationalQueries.asofJoin(events10x)),
+        "range_join_1m" -> (() => operators.RelationalQueries.rangeJoin(events10x)),
+        "dup_groups" -> (() => operators.DocQueries.defs.find(_.name == "d_dup_groups").get
+          .fn(spark, sfDir)))
+    }
+    // time CONSTRUCTION + execution together: iterative operators (the CC
+    // label propagation) run their convergence loop while the frame is
+    // being built, so timing only the final write would miss the real work
+    val extraTimes = extra.map { case (name, mk) =>
+      name -> Try {
+        def full(): Double = {
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        full() // warm
+        (1 to 2).map(_ => full()).min
+      }.getOrElse(-1.0)
+    }
+
     val tileSec = mins.head._2
     val qJson = mins.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val repJson = names.map { n =>
@@ -168,7 +203,8 @@ object Bench {
       s""""$k":"${v.replace("\\", "\\\\").replace("\"", "'")}"""" }.mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum
     val tput = if (tileSec > 0) (nRows / tileSec).toLong else -1L
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","image_rows":$nRows,"tile_assign_rows_per_sec":$tput,"cpus":$cpus,"mult":$mult,"reps":$reps,"rep_times":$repJson,"errors":$errJson,"steal_pct":${f"$stealPct%.2f"},"wall_sec":${f"$wallSec%.1f"},"knn_certified":${knnCert._1},"knn_queries":${knnCert._2}}""")
+    val extraJson = extraTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","image_rows":$nRows,"tile_assign_rows_per_sec":$tput,"cpus":$cpus,"mult":$mult,"reps":$reps,"rep_times":$repJson,"errors":$errJson,"extra":$extraJson,"steal_pct":${f"$stealPct%.2f"},"wall_sec":${f"$wallSec%.1f"},"knn_certified":${knnCert._1},"knn_queries":${knnCert._2}}""")
     spark.stop()
   }
 }

@@ -40,6 +40,52 @@ object RelationalQueries {
     "highway", "created_by", "amenity", "odbl", "natural", "tiger:tlid",
     "building", "KSJ2:LOC", "power", "source")
 
+  /** As-of join over any events-shaped frame (event_id, user_id, ts,
+    * event_type): each click matched to the latest prior-or-equal view by
+    * the same user — join-free, one union + window pass (single shuffle on
+    * user_id). Exposed for the bench's scaled runs. */
+  def asofJoin(ev: DataFrame): DataFrame = {
+    val e = ev
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "view").cast("int").as("is_view"))
+    // views order before clicks at equal ts so an equal-ts view is visible
+    // to the click; among equal-ts views the largest event_id wins (last).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("asof_view_id",
+        last(when(col("is_view") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("asof_view_ts",
+        last(when(col("is_view") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_view") === 0)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        coalesce(col("asof_view_id"), lit(-1L)).as("asof_view_id"),
+        coalesce(col("asof_view_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("asof_view_ts"))
+  }
+
+  /** Bucketed interval join over any events-shaped frame: clicks landing
+    * in each error's 5-minute half-open window, per user — a shuffle
+    * EQUI-join on (user, 300s bucket) with an exact range refine. */
+  def rangeJoin(ev: DataFrame): DataFrame = {
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"),
+        floor(unix_timestamp(col("ts")) / 300).as("b0"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        floor(unix_timestamp(col("ts")) / 300).as("bucket"))
+    // [t, t+300s) spans buckets b0 and b0+1 exactly
+    val cand = errs
+      .withColumn("ebucket", explode(array(col("b0"), col("b0") + 1)))
+      .join(clicks, col("c_user") === col("user_id") && col("bucket") === col("ebucket"))
+      .filter(col("c_ts") >= col("err_ts") &&
+        col("c_ts") < col("err_ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy("err_id").agg(count(lit(1)).as("n"))
+    errs.join(cand, Seq("err_id"), "left")
+      .select(col("err_id"), col("user_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q1_agg",
@@ -263,25 +309,7 @@ object RelationalQueries {
          |  COALESCE(view_id, -1) AS asof_view_id,
          |  COALESCE(view_ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_view_ts
          |FROM j WHERE rk = 1 ORDER BY click_id""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events")
-        .filter(col("event_type").isin("view", "click"))
-        .select(col("event_id"), col("user_id"), col("ts"),
-          (col("event_type") === "view").cast("int").as("is_view"))
-      // views order before clicks at equal ts so an equal-ts view is visible
-      // to the click; among equal-ts views the largest event_id wins (last).
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("is_view").desc, col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      e.withColumn("asof_view_id",
-          last(when(col("is_view") === 1, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("asof_view_ts",
-          last(when(col("is_view") === 1, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("is_view") === 0)
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"),
-          coalesce(col("asof_view_id"), lit(-1L)).as("asof_view_id"),
-          coalesce(col("asof_view_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("asof_view_ts"))
-        .orderBy("click_id")
+      asofJoin(t(s, dir, "events")).orderBy("click_id")
     },
 
     // Range (interval) join: clicks landing in each error's 5-minute
@@ -298,23 +326,7 @@ object RelationalQueries {
          |FROM e LEFT JOIN c ON c.user_id = e.user_id
          |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 5 MINUTE
          |GROUP BY e.err_id, e.user_id ORDER BY err_id""".stripMargin) { (s, dir) =>
-      val ev = t(s, dir, "events")
-      val errs = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"),
-          floor(unix_timestamp(col("ts")) / 300).as("b0"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-          floor(unix_timestamp(col("ts")) / 300).as("bucket"))
-      // [t, t+300s) spans buckets b0 and b0+1 exactly
-      val cand = errs
-        .withColumn("ebucket", explode(array(col("b0"), col("b0") + 1)))
-        .join(clicks, col("c_user") === col("user_id") && col("bucket") === col("ebucket"))
-        .filter(col("c_ts") >= col("err_ts") &&
-          col("c_ts") < col("err_ts") + expr("INTERVAL 5 MINUTES"))
-        .groupBy("err_id").agg(count(lit(1)).as("n"))
-      errs.join(cand, Seq("err_id"), "left")
-        .select(col("err_id"), col("user_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
-        .orderBy("err_id")
+      rangeJoin(t(s, dir, "events")).orderBy("err_id")
     },
 
     // CUBE over (returnflag, ship year): all four grouping-set combinations
