@@ -74,10 +74,13 @@ object Varint {
     def raw(a: Array[Byte]): this.type = { b.write(a, 0, a.length); this }
     def raw(o: Out): this.type = { o.b.writeTo(b); this }
 
+    /** The operand is UNSIGNED 64-bit: a zigzag of a very negative long
+      * (e.g. s(Long.MinValue/2 - 1)) sets the top bit, so the loop must
+      * test the remaining-bits mask, not signed >= 0x80 — found by the
+      * PropertySpec round-trip over arbitrary longs. */
     def u(v: Long): this.type = {
-      require(v >= 0, s"u() of negative $v")
       var x = v
-      while (x >= 0x80) { byte(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      while ((x & ~0x7fL) != 0) { byte(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
       byte(x.toInt)
     }
 
@@ -90,10 +93,11 @@ object Varint {
     def result(): Array[Byte] = b.toByteArray
   }
 
-  /** Byte length of u(v) — the reference's O5MReader.getLength. */
+  /** Byte length of u(v) — the reference's O5MReader.getLength (unsigned
+    * domain, same mask test as Out.u). */
   def uLen(v: Long): Int = {
     var x = v; var n = 1
-    while (x >= 0x80) { x >>>= 7; n += 1 }
+    while ((x & ~0x7fL) != 0) { x >>>= 7; n += 1 }
     n
   }
 }
