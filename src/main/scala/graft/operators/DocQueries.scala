@@ -347,6 +347,46 @@ object DocQueries {
         .orderBy("component")
     },
 
+    // sequence packing (the tokenize-and-pack step of a training
+    // pipeline): documents in doc_id order are packed contiguously into
+    // 512-token training sequences; a document belongs to the sequence its
+    // first token lands in. The global running token count is computed as
+    // a DISTRIBUTED prefix sum — range-partition by doc_id, per-partition
+    // cumulative window, then each partition adds the broadcast sum of all
+    // earlier partitions — so no single-partition global window ever sees
+    // the full corpus (the naive formulation is a sequential scan; this
+    // shape is how it survives 100 TB). The oracle is the naive one-window
+    // cumsum, so engine and oracle share no execution plan.
+    QueryDef.sql("d_seq_pack",
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckWords) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM t)
+         |SELECT CAST((cum - n) // 512 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), size(expr(wordsExpr)).cast("long").as("n"))
+      val parted = toks.repartitionByRange(8, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = parted.withColumn("cum_local", sum("n").over(wLocal))
+      // per-partition totals -> exclusive running offset (tiny frame:
+      // one row per partition, safe to window without a partition key)
+      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy("pid").agg(sum("n").as("ptotal"))
+        .withColumn("offset", coalesce(sum("ptotal").over(wOff), lit(0L)))
+        .select("pid", "offset")
+      local.join(broadcast(offsets), Seq("pid"))
+        .withColumn("cum", col("cum_local") + col("offset"))
+        .withColumn("seq_id", expr("(cum - n) div 512")) // integer div: exact past 2^53
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("seq_id")
+    },
+
     // intra-document repetition (Gopher-style quality filter): the
     // duplicated-word-bigram fraction per document. All map-side gram
     // construction + one per-doc aggregate; the repetition flag fires when
