@@ -134,6 +134,95 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- cell encoders -----------------------------------------------------
+
+  test("hex cell pack/unpack round-trips; encode assigns the nearest center") {
+    check(Prop.forAll(Gen.chooseNum(0, 12), Gen.chooseNum(-100000, 100000),
+                      Gen.chooseNum(-100000, 100000)) { (res, q, r) =>
+      operators.HexCells.unpack(operators.HexCells.pack(res, q, r)) == ((res, q, r))
+    })
+    check(Prop.forAll(Gen.chooseNum(3, 6),
+                      Gen.chooseNum(-1500000000, 1500000000),
+                      Gen.chooseNum(-800000000, 800000000)) { (res, lon, lat) =>
+      val (_, q, r) = operators.HexCells.unpack(operators.HexCells.encode(lon, lat, res))
+      val (cx, cy) = operators.HexCells.center(q, r, res)
+      // the assigned cell's center is within the circumradius of the point
+      // (cube rounding = nearest center in axial space)
+      math.hypot(lon - cx, lat - cy) <= operators.HexCells.radius(res) * 1.0001
+    })
+  }
+
+  test("hilbert d is a bijection onto [0, 4^order) for small orders") {
+    for (order <- 2 to 6) {
+      val side = 1 << order
+      val ds = for (x <- 0 until side; y <- 0 until side)
+        yield operators.HilbertCells.hilbertD(order, x, y)
+      assert(ds.toSet == (0L until (1L << (2 * order))).toSet, s"order $order not bijective")
+    }
+  }
+
+  // ---- point in polygon --------------------------------------------------
+
+  /** Random convex polygon (closed, CCW by angular construction) and the
+    * independent convexity oracle: strictly inside iff the point is on the
+    * same (left) side of every directed edge. The ray-casting kernel and
+    * the half-plane test share no code or approach. Points within 3 units
+    * of any edge line are skipped (the kernel's half-open boundary rule is
+    * its own contract, golden-tested; the property targets the interior).
+    */
+  test("pointInPolygon agrees with the half-plane oracle on convex polygons") {
+    val genPoly: Gen[(Array[Int], Array[Int])] = for {
+      k <- Gen.chooseNum(3, 9)
+      seed <- Gen.chooseNum(0, Int.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      val radii = Seq.fill(k)(200000 + rnd.nextInt(800000))
+      val pts = (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k + 0.1
+        ((radii(i) * math.cos(a)).toInt, (radii(i) * math.sin(a)).toInt)
+      }
+      // angular order around the origin is not always convex for varying
+      // radii — take the convex hull (gift wrap on few points)
+      val hull = {
+        val sorted = pts.sortBy(p => (p._1.toLong, p._2.toLong))
+        def cross(o: (Int, Int), a: (Int, Int), b: (Int, Int)): Long =
+          (a._1.toLong - o._1) * (b._2.toLong - o._2) - (a._2.toLong - o._2) * (b._1.toLong - o._1)
+        def half(ps: Seq[(Int, Int)]): Seq[(Int, Int)] =
+          ps.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+            var a = acc
+            while (a.size >= 2 && cross(a(1), a.head, p) <= 0) a = a.tail
+            p :: a
+          }.reverse
+        val lower = half(sorted).dropRight(1)
+        val upper = half(sorted.reverse).dropRight(1)
+        lower ++ upper
+      }
+      val closed = hull :+ hull.head
+      (closed.map(_._1).toArray, closed.map(_._2).toArray)
+    }
+    check(Prop.forAll(genPoly,
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(-1200000, 1200000),
+                              Gen.chooseNum(-1200000, 1200000)))) { case ((px, py), pts) =>
+      if (px.length < 4) true // degenerate hull, skip
+      else pts.forall { case (x, y) =>
+        def edgeSide(i: Int): Long =
+          (px(i + 1).toLong - px(i)) * (y.toLong - py(i)) -
+            (py(i + 1).toLong - py(i)) * (x.toLong - px(i))
+        val sides = (0 until px.length - 1).map(edgeSide)
+        // skip points near any edge line (within ~3 units of colinear)
+        val nearEdge = (0 until px.length - 1).exists { i =>
+          val len = math.hypot(px(i + 1) - px(i), py(i + 1) - py(i))
+          len > 0 && math.abs(sides(i)) / len < 3.0
+        }
+        if (nearEdge) true
+        else {
+          val inside = sides.forall(_ > 0) // CCW hull: left of every edge
+          Geo.pointInPolygon(x, y, px, py) == inside
+        }
+      }
+    })
+  }
+
   // ---- container round trips --------------------------------------------
 
   private val genSafeStr: Gen[String] =
