@@ -367,7 +367,10 @@ object DocQueries {
       import org.apache.spark.sql.expressions.Window
       val toks = docs(s, dir)
         .select(col("doc_id"), size(expr(wordsExpr)).cast("long").as("n"))
-      val parted = toks.repartitionByRange(8, col("doc_id"))
+      // output is invariant to the partition count (cum is global either
+      // way); width just follows the session's parallelism
+      val nParts = math.max(8, s.sparkContext.defaultParallelism)
+      val parted = toks.repartitionByRange(nParts, col("doc_id"))
         .withColumn("pid", spark_partition_id())
       val wLocal = Window.partitionBy("pid").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
