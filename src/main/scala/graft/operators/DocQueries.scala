@@ -347,6 +347,33 @@ object DocQueries {
         .orderBy("component")
     },
 
+    // document chunking (the RAG / training-window step): overlapping
+    // 64-token windows at stride 48 per document, entirely map-side (one
+    // explode, no shuffle until the per-doc aggregate). Chunk identity is
+    // an md5 fingerprint of the joined tokens; the per-doc xor digest
+    // keeps the gate row count linear while pinning every chunk's content.
+    QueryDef.sql("d_chunking",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |c AS (SELECT doc_id,
+         |        array_to_string(ws[CAST(i * 48 + 1 AS BIGINT):CAST(i * 48 + 64 AS BIGINT)], ' ') AS chunk
+         |      FROM w, UNNEST(range((len(ws) + 47) // 48)) AS t(i)
+         |      WHERE len(ws) > 0)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(bit_xor(${PortableHash.duckSql("chunk")}) AS BIGINT) AS chunk_xor
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), expr(wordsExpr).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, (size(ws) + 47) div 48 - 1), " +
+              "i -> concat_ws(' ', slice(ws, i * 48 + 1, 64)))")).as("chunk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          expr(s"bit_xor(${PortableHash.sparkSql("chunk")})").as("chunk_xor"))
+        .orderBy("doc_id")
+    },
+
     // sequence packing (the tokenize-and-pack step of a training
     // pipeline): documents in doc_id order are packed contiguously into
     // 512-token training sequences; a document belongs to the sequence its
