@@ -161,6 +161,34 @@ object GeoQueries {
         .groupBy("tile")
         .agg(sum("pc").as("cnt"), sum("ps").as("s"))
         .orderBy("tile")
+    },
+
+    // lineage-manifest gate: do a real checkpointed tiled write
+    // (TileLineage.writeTiled — skipping already-manifested tiles, commit
+    // point = the manifest line) and gate THE MANIFEST'S OWN RECORDS — per
+    // tile row count and lon/lat range — against an independent DuckDB
+    // recomputation of the first-match assignment. The digest column is
+    // xxhash64-based (not oracle-replayable) and is audited separately by
+    // LineageSpec / TileLineage.audit. Re-runs hit the already-manifested
+    // path, so the gate also exercises the idempotent resume.
+    QueryDef.sql("g_lineage",
+      s"""SELECT tile, COUNT(*) AS n_rows,
+         |  CAST(MIN(lon) AS BIGINT) AS min_lon, CAST(MAX(lon) AS BIGINT) AS max_lon,
+         |  CAST(MIN(lat) AS BIGINT) AS min_lat, CAST(MAX(lat) AS BIGINT) AS max_lat
+         |FROM (SELECT CAST(($duckTile) AS BIGINT) AS tile, lon, lat $fromImg) t
+         |GROUP BY tile ORDER BY tile""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = java.nio.file.Paths.get(dir, "documents.parquet")
+      val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_lineage_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + stamp).toString
+      val df = img(s, dir).select(col("image_id"), tileCol.as("tile"),
+        col("lon"), col("lat"))
+      graft.lineage.TileLineage.writeTiled(df, root)
+      graft.lineage.TileLineage.readManifest(root)
+        .map(m => (m.tile, m.rows, m.minLon, m.maxLon, m.minLat, m.maxLat))
+        .toDF("tile", "n_rows", "min_lon", "max_lon", "min_lat", "max_lat")
+        .orderBy("tile")
     }
   )
 }
