@@ -175,10 +175,60 @@ object O5m {
       val at = in.pos
       val eid = in.byte()
       if (eid == 0xff) { if (at > 0) cuts += at }
-      else if (eid < 0xf0) { val len = in.u().toInt; in.pos += len }
+      else if (eid < 0xf0) {
+        // validated skip: a malformed length must fail loudly, not rewind
+        // the cursor into an infinite loop (len is Long — no Int truncation)
+        val len = in.u()
+        require(len >= 0 && in.pos + len <= in.end,
+          s"malformed o5m record at $at: body length $len exceeds input (${in.pos} + $len > ${in.end})")
+        in.pos += len.toInt
+      }
       // 0xfe end-of-file and other bare datasets: no body
     }
     val bounds = (0 +: cuts.result()) :+ bytes.length
+    bounds.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq.filter(s => s._2 > s._1)
+  }
+
+  /** Streaming segment skim over an InputStream with Long offsets — the
+    * planet-scale driver path (OsmSource.o5mScan): the driver never holds
+    * more than one record HEADER in memory (1 id byte + a varint length;
+    * bodies are skipped), so driver memory is O(1) and files are not capped
+    * at the 2 GiB JVM array limit the byte[] overload implies. Mirrors the
+    * reference reader's own frame loop shape (O5MReader.java:60-88: read
+    * type, read length, consume body) without decoding bodies.
+    */
+  def segmentsStream(in: java.io.InputStream, total: Long): Seq[(Long, Long)] = {
+    val cuts = Seq.newBuilder[Long]
+    var pos = 0L
+    def byte(): Int = {
+      val b = in.read()
+      require(b >= 0, s"unexpected EOF at $pos of $total")
+      pos += 1
+      b
+    }
+    def u(): Long = {
+      var value = 0L; var fak = 1L; var cont = true
+      while (cont) {
+        val next = byte()
+        value += (next & 0x7f) * fak
+        cont = next >= 0x80
+        fak *= 0x80
+      }
+      value
+    }
+    while (pos < total) {
+      val at = pos
+      val eid = byte()
+      if (eid == 0xff) { if (at > 0) cuts += at }
+      else if (eid < 0xf0) {
+        val len = u()
+        require(len >= 0 && pos + len <= total,
+          s"malformed o5m record at $at: body length $len exceeds file ($pos + $len > $total)")
+        graft.sources.RangeStore.skipFully(in, len)
+        pos += len
+      }
+    }
+    val bounds = (0L +: cuts.result()) :+ total
     bounds.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq.filter(s => s._2 > s._1)
   }
 

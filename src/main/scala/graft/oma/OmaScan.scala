@@ -1,8 +1,8 @@
 package graft.oma
 
-import java.io.RandomAccessFile
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.core.Bbox
+import graft.sources.RangeStore
 
 /** Queryable .oma scan with chunk-table pruning — the access pattern the
   * container format exists for (the reader side of TypeAnalysis.java:
@@ -30,12 +30,14 @@ object OmaScan {
       tags: Map[String, String], nMembers: Int)
 
   /** Driver-side metadata read: header fields + chunk table ONLY — chunk
-    * bodies are never touched (seek to the table, then to the header run). */
-  def header(path: String): Header = {
-    val raf = new RandomAccessFile(path, "r")
-    try {
-      val fixed = new Array[Byte](29)
-      raf.readFully(fixed)
+    * bodies are never touched (range-read the table, then the header run).
+    * All IO goes through the [[graft.sources.RangeStore]] seam so a cluster
+    * deployment swaps shared storage in at one place.
+    */
+  def header(path: String, store: RangeStore = RangeStore.local): Header = {
+    {
+      val fileLen = store.length(path)
+      val fixed = store.readRange(path, 0L, 29)
       val fin = new OmaReader.In(fixed)
       require(fin.readByte() == 'O' && fin.readByte() == 'M' && fin.readByte() == 'A', "bad magic")
       fin.readByte() // version
@@ -43,9 +45,8 @@ object OmaScan {
       val bbox = Bbox(fin.readInt(), fin.readInt(), fin.readInt(), fin.readInt())
       val chunkTablePos = fin.readLong()
 
-      raf.seek(chunkTablePos)
-      val tableBytes = new Array[Byte]((raf.length() - chunkTablePos).toInt)
-      raf.readFully(tableBytes)
+      require(fileLen - chunkTablePos <= Int.MaxValue, "chunk table exceeds 2 GiB")
+      val tableBytes = store.readRange(path, chunkTablePos, (fileLen - chunkTablePos).toInt)
       val tin = new OmaReader.In(tableBytes)
       val n = tin.readInt()
       val refs0 = (0 until n).map { _ =>
@@ -60,9 +61,7 @@ object OmaScan {
       // optional headers (compression flag) live between the fixed header
       // and the first chunk — a bounded region we can now read exactly
       val headerEnd = if (refs.nonEmpty) refs.map(_.start).min else chunkTablePos
-      raf.seek(29)
-      val hdrBytes = new Array[Byte]((headerEnd - 29).toInt)
-      raf.readFully(hdrBytes)
+      val hdrBytes = store.readRange(path, 29L, (headerEnd - 29).toInt)
       val hin = new OmaReader.In(hdrBytes)
       var compression = "NONE"
       var done = false
@@ -77,7 +76,7 @@ object OmaScan {
         if (h == 0) done = true
       }
       Header(features, compression, bbox, refs)
-    } finally raf.close()
+    }
   }
 
   def pruned(h: Header, box: Bbox): Seq[ChunkRef] =
@@ -85,38 +84,36 @@ object OmaScan {
 
   /** Bbox-pruned element scan: only intersecting chunks are read/decoded,
     * in parallel, one executor task per chunk byte-range. */
-  def query(spark: SparkSession, path: String, box: Bbox): Dataset[OmaScanRow] = {
-    val h = header(path)
+  def query(spark: SparkSession, path: String, box: Bbox,
+            store: RangeStore = RangeStore.local): Dataset[OmaScanRow] = {
+    val h = header(path, store)
     val keep = pruned(h, box)
-    scanRefs(spark, path, h, keep)
+    scanRefs(spark, path, h, keep, store)
   }
 
   /** Full scan (no predicate) — same distribution. */
-  def scan(spark: SparkSession, path: String): Dataset[OmaScanRow] = {
-    val h = header(path)
-    scanRefs(spark, path, h, h.chunks)
+  def scan(spark: SparkSession, path: String,
+           store: RangeStore = RangeStore.local): Dataset[OmaScanRow] = {
+    val h = header(path, store)
+    scanRefs(spark, path, h, h.chunks, store)
   }
 
   private def scanRefs(spark: SparkSession, path: String, h: Header,
-                       refs: Seq[ChunkRef]): Dataset[OmaScanRow] = {
+                       refs: Seq[ChunkRef], store: RangeStore): Dataset[OmaScanRow] = {
     import spark.implicits._
     val zip = h.compression == "DEFLATE"
     val features = h.features
     val parts = math.min(spark.sparkContext.defaultParallelism, math.max(1, refs.size))
     spark.createDataset(refs).repartition(parts).flatMap { ref =>
-      val raf = new RandomAccessFile(path, "r")
-      try {
-        val body = new Array[Byte]((ref.end - ref.start).toInt)
-        raf.seek(ref.start); raf.readFully(body)
-        OmaReader.readChunkBody(body, ref.ctype.head, features, zip).flatMap { b =>
-          b.slices.flatMap { s =>
-            s.elements.map { e =>
-              OmaScanRow(ref.idx, ref.ctype, b.key, s.value, e.meta.id,
-                e.lon, e.lat, e.holesLon.size, e.tags, e.members.size)
-            }
+      val body = store.readRange(path, ref.start, (ref.end - ref.start).toInt)
+      OmaReader.readChunkBody(body, ref.ctype.head, features, zip).flatMap { b =>
+        b.slices.flatMap { s =>
+          s.elements.map { e =>
+            OmaScanRow(ref.idx, ref.ctype, b.key, s.value, e.meta.id,
+              e.lon, e.lat, e.holesLon.size, e.tags, e.members.size)
           }
         }
-      } finally raf.close()
+      }
     }
   }
 }

@@ -3,6 +3,7 @@ package graft.oma
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.sources.RangeStore
 
 /** One decoded OSM element as a flat Spark row (the scan-operator output
   * shape shared by the XML / O5M / PBF sources).
@@ -31,14 +32,9 @@ object OsmSource {
     if (O5m.isO5m(bytes)) {
       val segs = O5m.segments(bytes)
       if (segs.size <= 1) O5m.decode(bytes)
-      else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        O5m.merge(Await.result(Future.sequence(segs.map { case (from, until) =>
-          Future(O5m.decode(java.util.Arrays.copyOfRange(bytes, from, until)))
-        }), Duration.Inf))
-      }
+      else O5m.merge(ParallelIngest.map(segs) { case (from, until) =>
+        O5m.decode(java.util.Arrays.copyOfRange(bytes, from, until))
+      })
     } else if (Pbf.isPbf(bytes)) Pbf.decode(bytes)
     else OsmXml.parse(new String(bytes, StandardCharsets.UTF_8))
 
@@ -64,44 +60,51 @@ object OsmSource {
     * the single-task sequential decode, which is also the reference's
     * behavior.
     */
-  def o5mScan(spark: SparkSession, path: String, parts: Int = 0): Dataset[OsmRow] = {
+  def o5mScan(spark: SparkSession, path: String, parts: Int = 0,
+              store: RangeStore = RangeStore.local): Dataset[OsmRow] = {
     import spark.implicits._
-    val segs = O5m.segments(Files.readAllBytes(Paths.get(path)))
+    // STREAMING skim: O(1) driver memory, Long offsets — never the 2 GiB
+    // byte[] ceiling (planet.o5m is ~60 GB; the skim is why the scan scales)
+    val segs = {
+      val in = store.open(path)
+      try O5m.segmentsStream(in, store.length(path)) finally in.close()
+    }
+    segs.foreach { case (from, until) =>
+      require(until - from <= Int.MaxValue,
+        s"o5m reset segment [$from, $until) exceeds 2 GiB — the file's reset " +
+          "density is too low for single-task decode; re-chunk it (osmconvert " +
+          "emits resets every few MB)")
+    }
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     spark.createDataset(segs.map(s => (path, s._1, s._2)))
       .repartition(math.min(n, math.max(1, segs.size)))
       .flatMap { case (p, from, until) =>
-        val raf = new java.io.RandomAccessFile(p, "r")
-        try {
-          val slice = new Array[Byte](until - from)
-          raf.seek(from); raf.readFully(slice)
-          toRows(O5m.decode(slice))
-        } finally raf.close()
+        toRows(O5m.decode(store.readRange(p, from, (until - from).toInt)))
       }
   }
 
   /** PBF scan: blobs are independently decodable (own string table, own
     * delta chains), so the driver skims the frame table (metadata only,
-    * bodies skipped) and executors decode blobs in parallel — the shape
-    * that scales to a 1000-executor cluster reading planet-size files.
+    * bodies skipped, streaming — O(1) driver memory) and executors decode
+    * blobs in parallel — the shape that scales to a 1000-executor cluster
+    * reading planet-size files.
     */
-  def pbfScan(spark: SparkSession, path: String, parts: Int = 0): Dataset[OsmRow] = {
+  def pbfScan(spark: SparkSession, path: String, parts: Int = 0,
+              store: RangeStore = RangeStore.local): Dataset[OsmRow] = {
     import spark.implicits._
-    val fs = Pbf.frames(Files.readAllBytes(Paths.get(path)))
-      .filter(_.btype == "OSMData")
+    val fs = {
+      val in = store.open(path)
+      try Pbf.framesStream(in, store.length(path)) finally in.close()
+    }.filter(_.btype == "OSMData")
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     spark.createDataset(fs.map(f => (path, f.offset, f.len)))
       .repartition(math.min(n, math.max(1, fs.size)))
       .flatMap { case (p, off, len) =>
-        val raf = new java.io.RandomAccessFile(p, "r")
-        try {
-          val blob = new Array[Byte](len)
-          raf.seek(off); raf.readFully(blob)
-          val (nodes, ways, rels) = Pbf.decodePrimitiveBlock(Pbf.unwrapBlob(blob))
-          // same ingest-time discardable-tag filter as every other source
-          toRows(OsmInput(None, nodes, ways, rels))
-            .map(r => r.copy(tags = r.tags.filterNot(t => OsmXml.Discardable(t._1))))
-        } finally raf.close()
+        val blob = store.readRange(p, off, len)
+        val (nodes, ways, rels) = Pbf.decodePrimitiveBlock(Pbf.unwrapBlob(blob))
+        // same ingest-time discardable-tag filter as every other source
+        toRows(OsmInput(None, nodes, ways, rels))
+          .map(r => r.copy(tags = r.tags.filterNot(t => OsmXml.Discardable(t._1))))
       }
   }
 }

@@ -109,6 +109,46 @@ object Pbf {
     out.result()
   }
 
+  /** Streaming frame skim with Long offsets — the planet-scale driver path
+    * (OsmSource.pbfScan): reads each 4-byte length + BlobHeader (tens of
+    * bytes), then SKIPS the body, so driver memory is O(largest header) and
+    * input files are not capped at the 2 GiB JVM array limit of the byte[]
+    * overload. This is the reference's own frame loop (PBFReader.java:32-60:
+    * readInt, read header, consume blob) minus the body decode.
+    */
+  def framesStream(in: java.io.InputStream, total: Long): Seq[Frame] = {
+    import graft.sources.RangeStore.{readFully, skipFully}
+    var pos = 0L
+    def byte(): Int = {
+      val b = in.read()
+      require(b >= 0, s"unexpected EOF at $pos of $total")
+      pos += 1
+      b
+    }
+    val out = Seq.newBuilder[Frame]
+    while (pos < total) {
+      val hlen = (byte() << 24) | (byte() << 16) | (byte() << 8) | byte()
+      require(hlen >= 0 && pos + hlen <= total,
+        s"malformed PBF blob header length $hlen at ${pos - 4}")
+      val hdr = new Array[Byte](hlen)
+      readFully(in, hdr, hlen)
+      pos += hlen
+      val header = new In(hdr)
+      var btype = ""; var datasize = 0
+      fields(header) {
+        case (1, _) => btype = str(header)
+        case (3, _) => datasize = header.u().toInt
+        case (_, w) => skip(header, w)
+      }
+      require(datasize >= 0 && pos + datasize <= total,
+        s"malformed PBF blob: datasize $datasize at $pos exceeds file of $total")
+      out += Frame(btype, pos, datasize)
+      skipFully(in, datasize)
+      pos += datasize
+    }
+    out.result()
+  }
+
   // -------------------------------------------------------------------------
   // Blob decode (independent per blob — the executor-side unit)
   // -------------------------------------------------------------------------
@@ -283,29 +323,24 @@ object Pbf {
     * the golden diffs.)
     */
   def decode(bytes: Array[Byte]): OsmInput = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val fs = frames(bytes)
     fs.foreach(f => require(f.btype == "OSMHeader" || f.btype == "OSMData",
       s"unknown PBF type: ${f.btype}"))
     def block(f: Frame): Array[Byte] =
       unwrapBlob(java.util.Arrays.copyOfRange(bytes, f.offset.toInt, f.offset.toInt + f.len))
     val bounds = fs.filter(_.btype == "OSMHeader").flatMap(f => decodeHeaderBlock(block(f))).headOption
-    val parts = Await.result(Future.sequence(fs.filter(_.btype == "OSMData").map { f =>
-      Future {
-        val (n, w, r) = decodePrimitiveBlock(block(f))
-        var d = 0L
-        def keep(m: Map[String, String]): Map[String, String] = {
-          val kept = m.filterNot(t => OsmXml.Discardable(t._1))
-          d += m.size - kept.size
-          kept
-        }
-        (n.map(x => x.copy(tags = keep(x.tags))),
-          w.map(x => x.copy(tags = keep(x.tags))),
-          r.map(x => x.copy(tags = keep(x.tags))), d)
+    val parts = ParallelIngest.map(fs.filter(_.btype == "OSMData")) { f =>
+      val (n, w, r) = decodePrimitiveBlock(block(f))
+      var d = 0L
+      def keep(m: Map[String, String]): Map[String, String] = {
+        val kept = m.filterNot(t => OsmXml.Discardable(t._1))
+        d += m.size - kept.size
+        kept
       }
-    }), Duration.Inf)
+      (n.map(x => x.copy(tags = keep(x.tags))),
+        w.map(x => x.copy(tags = keep(x.tags))),
+        r.map(x => x.copy(tags = keep(x.tags))), d)
+    }
     OsmInput(bounds, parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3),
       parts.map(_._4).sum)
   }
