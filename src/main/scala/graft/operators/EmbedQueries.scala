@@ -63,28 +63,56 @@ object EmbedQueries {
     * e_cosine_dup (mirrored in the oracle) — see DocQueries.LshBucketCap. */
   val BandBucketCap = 256
 
+  /** Above this list count [[ivfTopk]] switches the per-row assignment to
+    * the two-level coarse quantizer ([[ivfAssignHier]]): flat assignment is
+    * O(nlist) per row and nlist = round(sqrt(n)) grows unboundedly (10^6
+    * lists at 10^12 vectors), while two-level is O(sqrt(nlist) * probe
+    * fan-out). 4096 lists ~ 17M vectors: far above every testable scale
+    * here (the hier path is exercised directly by EmbedSpec at a forced
+    * small configuration), comfortably below where flat assignment would
+    * start to dominate the scan.
+    */
+  val HierNlistThreshold = 4096
+
+  /** Deterministic hash-ranked sample of the vectors as centroid frame
+    * (j, c) — entirely inside the plan: a distributed top-nlist
+    * (TakeOrderedAndProject) followed by a row_number over the nlist
+    * surviving rows. No `collect()`: the round-3 driver materialization is
+    * gone; the frame feeds `broadcast()` directly.
+    */
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+
+  private[graft] def centroids(v: DataFrame, nlist: Int): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")
+    v.withColumn("h", expr(ivfHashSql))
+      .orderBy("h", "vec_id").limit(nlist)
+      .withColumn("j", row_number().over(wRank).cast("long") - 1L)
+      .select(col("j"), col("v").as("c"))
+  }
+
   /** IVF top-k (the e_ivf_topk body; nlistOverride forces a list count for
     * the spec's 16/64 configurations — None derives round(sqrt(n))). */
   def ivfTopk(s: SparkSession, dir: String, nlistOverride: Option[Int]): DataFrame = {
-    import s.implicits._
     val v = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
     val nlist = nlistOverride.getOrElse(ivfNlist(v.count()))
-    // centroid training: deterministic hash-ranked sample of the vectors
-    // (nlist ~ sqrt(n) rows to the driver; at extreme n the assignment
-    // join itself would go hierarchical, but the list-id equi-join shape
-    // below is unchanged)
-    val cent = v.withColumn("h", expr(ivfHashSql))
-      .orderBy("h", "vec_id").limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, j) => (j.toLong, r.getSeq[Long](1)) }.toSeq
-      .toDF("j", "c")
-    // exact L2 via dot identities: |v-c|^2 = v.v - 2 v.c + c.c (all BIGINT)
-    val l2 = ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c")
-    val wC = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
-    val d = v.crossJoin(broadcast(cent))
-      .withColumn("dist", l2)
-      .withColumn("crk", row_number().over(wC))
+    val cent = centroids(v, nlist)
+    // per-row centroid candidates (dist, crk): flat scoring below the
+    // threshold (exact nearest centroid), two-level above it
+    val d =
+      if (nlist >= HierNlistThreshold)
+        ivfAssignHier(v, cent,
+          ncoarse = math.max(4, math.round(math.sqrt(nlist.toDouble)).toInt),
+          probeCoarse = 2)
+      else {
+        // exact L2 via dot identities: |v-c|^2 = v.v - 2 v.c + c.c (BIGINT)
+        val l2 = ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c")
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
+        v.crossJoin(broadcast(cent))
+          .withColumn("dist", l2)
+          .withColumn("crk", row_number().over(wC))
+      }
     val asg = d.filter(col("crk") === 1)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("j"))
     val probes = d.filter(col("crk") <= 2 && col("vec_id") % 25 === 0)
@@ -97,6 +125,49 @@ object EmbedQueries {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
       .orderBy("qid", "rk")
+  }
+
+  /** Two-level (coarse-quantized) IVF assignment — the extreme-scale shape:
+    * at 10^12 vectors nlist = 10^6 and flat per-row scoring is O(nlist);
+    * here each row scores ncoarse ~ sqrt(nlist) coarse cells, probes its
+    * `probeCoarse` nearest, and scores only the fine centroids grouped
+    * under them — O(sqrt(nlist) + probeCoarse * nlist/ncoarse) per row.
+    * Coarse centroids are the first ncoarse of the SAME deterministic
+    * hash-ranked sample (no extra training pass); fine->coarse grouping is
+    * an nlist x ncoarse broadcast scoring, negligible next to the scan.
+    *
+    * Returns the same (vec_id, v, j, dist, crk) frame as flat scoring.
+    * Approximation note (standard IVF/IMI tradeoff): a row whose true
+    * nearest fine centroid lives outside its probed coarse cells gets its
+    * best IN-PROBE centroid instead; EmbedSpec measures the agreement rate
+    * against flat assignment on a forced-small configuration.
+    */
+  def ivfAssignHier(v: DataFrame, cent: DataFrame, ncoarse: Int, probeCoarse: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def l2(x: Column, y: Column): Column =
+      ipc(x, x) - lit(2L) * ipc(x, y) + ipc(y, y)
+    val coarse = cent.filter(col("j") < ncoarse)
+      .select(col("j").as("cj"), col("c").as("cc"))
+    // level 1: fine centroid -> nearest coarse cell
+    val wF = Window.partitionBy(col("j")).orderBy(col("cd"), col("cj"))
+    val fine = cent.crossJoin(broadcast(coarse))
+      .withColumn("cd", l2(col("c"), col("cc")))
+      .withColumn("frk", row_number().over(wF))
+      .filter(col("frk") === 1)
+      .select(col("cj"), col("j"), col("c"))
+    // level 2: row -> probeCoarse nearest coarse cells
+    val wR = Window.partitionBy(col("vec_id")).orderBy(col("cd"), col("cj"))
+    val rowCoarse = v.crossJoin(broadcast(coarse))
+      .withColumn("cd", l2(col("v"), col("cc")))
+      .withColumn("rrk", row_number().over(wR))
+      .filter(col("rrk") <= probeCoarse)
+      .select(col("vec_id"), col("v"), col("cj"))
+    // level 3: score only the fine centroids under the probed coarse cells
+    val wC = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
+    rowCoarse.join(broadcast(fine), Seq("cj"))
+      .withColumn("dist", l2(col("v"), col("c")))
+      .withColumn("crk", row_number().over(wC))
+      .select(col("vec_id"), col("v"), col("j"), col("dist"), col("crk"))
   }
 
   /** Bench-scale ANN: replicate each embedding `mult` times with a
@@ -133,14 +204,9 @@ object EmbedQueries {
   /** Diagnostic: list-size balance of the IVF assignment at a given nlist:
     * (nlist, non-empty lists, max list size, min non-empty list size). */
   def ivfListStats(s: SparkSession, dir: String, nlistOverride: Option[Int]): (Int, Long, Long, Long) = {
-    import s.implicits._
     val v = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
     val nlist = nlistOverride.getOrElse(ivfNlist(v.count()))
-    val cent = v.withColumn("h", expr(ivfHashSql))
-      .orderBy("h", "vec_id").limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, j) => (j.toLong, r.getSeq[Long](1)) }.toSeq
-      .toDF("j", "c")
+    val cent = centroids(v, nlist)
     val l2 = ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c")
     val wC = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
@@ -188,6 +254,9 @@ object EmbedQueries {
     * codegen kernel (graft.plans.LongDot), the per-candidate hot path. */
   private def ip(x: String, y: String): Column =
     graft.plans.LongDot(col(x), col(y))
+
+  /** same kernel over Column operands (the hierarchical-assignment path). */
+  private def ipc(x: Column, y: Column): Column = graft.plans.LongDot(x, y)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -121,6 +121,64 @@ class EmbedSpec extends AnyFunSuite {
     info(s"adaptive nlist=$nlA (round(sqrt(n))): $listsA non-empty lists, sizes [$mnA, $mxA]")
   }
 
+  test("IVF centroid derivation stays inside the plan — no driver collect") {
+    val df = EmbedQueries.ivfTopk(spark, "/root/testdata/sf0.001", Some(16))
+    val plan = df.queryExecution.executedPlan.toString
+    // round 3 collected the hash-ranked sample to the driver and re-created
+    // it as a LocalTableScan; now the sample is a distributed
+    // TakeOrderedAndProject feeding the broadcast directly
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("LocalTableScan"), plan.take(2000))
+    assert(df.collect().nonEmpty)
+  }
+
+  test("two-level coarse assignment: lower-bounded by flat, high agreement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // clustered corpus (the realistic shape — see the recall test above)
+    def centroid(c: Int): IndexedSeq[Float] = (0 until 64).map { d =>
+      if (graft.core.PortableHash.h60(s"hc:$c:$d") % 2 == 0) 1.0f else -1.0f
+    }
+    val vecs = (0 until 500).map { i =>
+      val c = i % 20
+      val base = centroid(c)
+      val v = (0 until 64).map { d =>
+        base(d) + (graft.core.PortableHash.h60(s"hn:$i:$d") % 101 - 50) / 1000.0f
+      }
+      (i.toLong, v, c.toLong)
+    }
+    val dir = Files.createTempDirectory("embedhier").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val v = EmbedQueries.quantized(spark, dir)
+    val cent = EmbedQueries.centroids(v, 32).cache()
+    // flat exact nearest centroid, reimplemented here independently
+    def l2(x: String, y: String) = {
+      def ip(p: String, q: String) =
+        expr(s"aggregate(zip_with($p, $q, (x, y) -> x * y), 0L, (acc, t) -> acc + t)")
+      ip(x, x) - lit(2L) * ip(x, y) + ip(y, y)
+    }
+    val wC = Window.partitionBy(col("vec_id")).orderBy(col("fd"), col("j"))
+    val flat = v.crossJoin(broadcast(cent))
+      .withColumn("fd", l2("v", "c"))
+      .withColumn("rk", row_number().over(wC)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("j").as("fj"), col("fd"))
+    // forced-small two-level configuration (ncoarse=6, probe 2)
+    val hier = EmbedQueries.ivfAssignHier(v, cent, ncoarse = 6, probeCoarse = 2)
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("j").as("hj"), col("dist").as("hd"))
+    val both = flat.join(hier, Seq("vec_id")).collect()
+    assert(both.length == 500, "every vector must get exactly one assignment")
+    // exactness lower bound: the in-probe minimum can never beat the global
+    // flat minimum
+    assert(both.forall(r => r.getAs[Long]("fd") <= r.getAs[Long]("hd")))
+    val agree = both.count(r => r.getAs[Long]("fj") == r.getAs[Long]("hj"))
+    info(f"two-level assignment agreement vs flat: ${agree / 500.0}%.2f ($agree/500)")
+    assert(agree >= 350, s"agreement collapsed: $agree/500")
+  }
+
   test("hot-bucket caps: nothing dropped on this corpus, diagnostics exposed") {
     val dir = "/root/testdata/sf0.01"
     val (cmax, cdrop) = EmbedQueries.cosineBucketStats(spark, dir)
