@@ -59,11 +59,22 @@ object TileLineage {
       .as[TileStat].collect().toSeq.sortBy(_.tile)
   }
 
-  /** Idempotent tiled write: skips tiles already manifested, dynamically
-    * overwrites (possibly half-written) missing ones, then commits their
-    * manifest lines.
+  /** Idempotent tiled write with INCREMENTAL commit: skips tiles already
+    * manifested, then writes the missing ones in tile-groups of
+    * `groupSize`, committing each group's manifest lines as soon as its
+    * data lands — so the commit granularity (and the redo window after a
+    * crash) is one group, not the whole batch. Per group the stats are
+    * recomputed from the files ON DISK (the audit path's source of truth),
+    * and the upstream frame is persisted once — the round-3 shape
+    * (stats(remaining) then a second full execution for the write, one
+    * manifest append at the very end) double-paid the upstream computation
+    * and redid the entire batch on any crash.
+    *
+    * `failAfterGroups` is a crash-injection hook for LineageSpec: the write
+    * aborts (as a crash would) after that many groups have committed.
     */
-  def writeTiled(df: DataFrame, root: String): WriteSummary = {
+  def writeTiled(df: DataFrame, root: String, groupSize: Int = 256,
+                 failAfterGroups: Int = Int.MaxValue): WriteSummary = {
     // tiles are non-null by contract (the tile encoder is total — the
     // catch-all tile absorbs everything); assert rather than let a null
     // slip past the left_anti resume (the old !isin filter dropped nulls,
@@ -73,6 +84,7 @@ object TileLineage {
     if (df.schema("tile").nullable)
       require(df.filter(col("tile").isNull).isEmpty,
         "writeTiled: null tile keys — the tile encoder must be total")
+    val spark = df.sparkSession
     val done = readManifest(root).map(_.tile).toSet
     // broadcast anti-join, not isin(...): at ~43k manifested tiles an isin
     // literal list is a giant expression tree; the anti-join stays O(1) in
@@ -80,21 +92,33 @@ object TileLineage {
     val remaining =
       if (done.isEmpty) df
       else {
-        val spark = df.sparkSession
         import spark.implicits._
         val doneDf = done.toSeq.sorted.toDF("tile")
           .select(col("tile").cast(df.schema("tile").dataType))
         df.join(broadcast(doneDf), Seq("tile"), "left_anti")
       }
-    val todo = stats(remaining)
-    if (todo.nonEmpty) {
-      remaining.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      remaining.write.mode(SaveMode.Overwrite)
-        .partitionBy("tile")
-        .parquet(root + "/data")
-      appendManifest(root, todo)
-    }
-    WriteSummary(todo, done.toSeq.sorted)
+    remaining.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tiles = remaining.select(col("tile").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val written = Seq.newBuilder[TileStat]
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      tiles.grouped(groupSize).zipWithIndex.foreach { case (group, g) =>
+        if (g >= failAfterGroups)
+          throw new IllegalStateException(s"injected crash after $g committed groups")
+        val inGroup = col("tile").cast("long").isin(group.toIndexedSeq: _*)
+        remaining.filter(inGroup).write.mode(SaveMode.Overwrite)
+          .partitionBy("tile")
+          .parquet(root + "/data")
+        // stats from the bytes that actually landed (partition-pruned read
+        // of just this group's tile directories) — commit what IS, not what
+        // was intended; also the second execution of `remaining` goes away
+        val onDisk = stats(spark.read.parquet(root + "/data").filter(inGroup))
+        appendManifest(root, onDisk)
+        written ++= onDisk
+      }
+      WriteSummary(written.result(), done.toSeq.sorted)
+    } finally remaining.unpersist()
   }
 
   /** Recompute digests from what's on disk and diff against the manifest —

@@ -51,4 +51,35 @@ class LineageSpec extends AnyFunSuite {
     val audit = TileLineage.audit(spark, root)
     assert(audit.nonEmpty && audit.forall(_._2), s"audit failed: ${audit.filterNot(_._2)}")
   }
+
+  test("incremental commit: a crash mid-batch keeps committed tile-groups; resume skips them") {
+    val root = java.nio.file.Files.createTempDirectory("lineage_inc").toString
+    val df = tiled
+    val allTiles = df.select("tile").distinct().as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    assert(allTiles.length > 8, s"need several groups, got ${allTiles.length} tiles")
+
+    // crash injected after 2 groups of 3 tiles have committed
+    val boom = intercept[IllegalStateException] {
+      TileLineage.writeTiled(df, root, groupSize = 3, failAfterGroups = 2)
+    }
+    assert(boom.getMessage.contains("injected crash"))
+
+    // exactly the first two groups (6 smallest tiles) are manifested —
+    // the commit point moved from batch-end to group-end
+    val committed = TileLineage.readManifest(root).map(_.tile).sorted
+    assert(committed == allTiles.take(6).toSeq, s"committed: $committed")
+
+    // resume: the committed groups are SKIPPED, everything else written
+    val resume = TileLineage.writeTiled(df, root, groupSize = 3)
+    assert(resume.skipped.toSet == allTiles.take(6).toSet)
+    assert(resume.written.map(_.tile).toSet == allTiles.drop(6).toSet)
+
+    // end state is complete and audit-clean
+    val back = spark.read.parquet(root + "/data")
+    assert(back.count() == df.count())
+    val audit = TileLineage.audit(spark, root)
+    assert(audit.size == allTiles.length && audit.forall(_._2),
+      s"audit failed: ${audit.filterNot(_._2)}")
+  }
 }
