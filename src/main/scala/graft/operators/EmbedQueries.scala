@@ -426,6 +426,34 @@ object EmbedQueries {
         .orderBy("ida", "idb")
     },
 
+    // the bench-scale ANN join shape, oracle-gated at a reduced mult: the
+    // corpus replication + single-dim perturbation is deterministic, so the
+    // oracle replays corpus construction AND the bucket/multiprobe/exact-dot
+    // pipeline bit-for-bit (closing round 3's "ann_scale is bench-only" gap
+    // — the bench entry at mult=100 runs the identical plan)
+    QueryDef.sql("e_ann_scaled", {
+      val mult = 10
+      val dot = (1 to Dim).map(d => s"pr.qv[$d] * p.v[$d]").mkString(" + ")
+      s"""WITH base AS (SELECT vec_id, $duckQuant AS v0 FROM embeddings),
+         |rep AS (SELECT base.vec_id * $mult + t.r AS vec_id,
+         |          list_transform(range(1, ${Dim + 1}), d ->
+         |            v0[d] + CASE WHEN d - 1 = t.r % $Dim THEN t.r % 7 - 3 ELSE 0 END) AS v
+         |        FROM base CROSS JOIN (SELECT UNNEST(range($mult)) AS r) t),
+         |b AS (SELECT vec_id, v, CAST(${bitsSql(0, 8)} AS BIGINT) AS bucket FROM rep),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % ${25 * mult} = 0),
+         |pr AS (SELECT qid, qv, xor(bucket, CAST(f.f AS BIGINT)) AS pb
+         |       FROM q CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) f(f)),
+         |r AS (SELECT pr.qid, p.vec_id AS pid, ($dot) AS dot,
+         |        row_number() OVER (PARTITION BY pr.qid ORDER BY ($dot) DESC, p.vec_id) AS rk
+         |      FROM pr JOIN b p ON p.bucket = pr.pb AND p.vec_id <> pr.qid)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) =>
+      annTopkScaled(s, dir, 10)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
+        .orderBy("qid", "rk")
+    },
+
     // bucket histogram: the skew diagnostic for the LSH path
     QueryDef.sql("e_bucket_hist",
       s"""SELECT bucket, COUNT(*) AS n FROM

@@ -121,6 +121,38 @@ class EmbedSpec extends AnyFunSuite {
     info(s"adaptive nlist=$nlA (round(sqrt(n))): $listsA non-empty lists, sizes [$mnA, $mxA]")
   }
 
+  test("scaled ANN recall vs brute force at the same mult") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val mult = 10
+    val a = EmbedQueries.annTopkScaled(spark, dir, mult).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // independent all-pairs reference over the identical replicated corpus,
+    // rebuilt here from the raw embeddings with the same deterministic
+    // perturbation (not through the operator under test)
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+      .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+        expr(s"transform(v, (x, i) -> CASE WHEN i = CAST(rep % 64 AS INT) THEN x + rep % 7 - 3 ELSE x END)").as("v"))
+    val q = base.filter(col("vec_id") % (25L * mult) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("pid"))
+    val b = broadcast(q)
+      .join(base.select(col("vec_id").as("pid"), col("v").as("pv")), col("pid") =!= col("qid"))
+      .withColumn("dot", expr("aggregate(zip_with(qv, pv, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("pid"))).toSet
+    val recall = (a intersect b).size.toDouble / b.size
+    info(f"scaled-ANN recall@3 vs brute at mult=$mult: $recall%.2f (${(a intersect b).size}/${b.size})")
+    // replicas differ by +-3 milli-units on one dim: a query's top
+    // neighbours are its own replicas, which share its bucket — so recall
+    // on the replicated corpus must be high, not the near-random floor
+    assert(recall >= 0.6, f"scaled recall collapsed: $recall%.2f")
+  }
+
   test("IVF centroid derivation stays inside the plan — no driver collect") {
     val df = EmbedQueries.ivfTopk(spark, "/root/testdata/sf0.001", Some(16))
     val plan = df.queryExecution.executedPlan.toString
