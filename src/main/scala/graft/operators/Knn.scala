@@ -2,16 +2,17 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
 /** Exact k-nearest-neighbour join on fixed-point geotags.
   *
   * Strategy (two set-based passes, no driver loop):
   *   1. bucket points on a uniform grid; each query joins only the 3x3
-  *      block of cells around it and takes a window top-k by exact distance.
-  *      A query is FINAL if its k-th distance is within the guaranteed
-  *      radius (distance from the query to the edge of its 3x3 block) —
-  *      no point outside the block can be closer.
+  *      block of cells around it and takes a top-k by exact distance via
+  *      the bounded DistTopK aggregate (k-slot buffers, map-side combine —
+  *      no candidate ever passes through a window sort). A query is FINAL
+  *      if its k-th distance is within the guaranteed radius (distance from
+  *      the query to the edge of its 3x3 block) — no point outside the
+  *      block can be closer.
   *   2. the (rare) unresolved queries fall back to a brute-force join.
   *
   * Distances are (dx*dx + dy*dy) in DOUBLE: the operands are exact int32s,
@@ -37,8 +38,7 @@ object Knn {
     math.max(1L, math.sqrt(WorldArea * k / math.max(1L, n).toDouble).toLong)
 
   private case class Pass1(
-      ranked: DataFrame, qs: DataFrame, pts: DataFrame,
-      dist: Column, w: WindowSpec)
+      agged: DataFrame, qs: DataFrame, pts: DataFrame, dist: Column)
 
   private def pass1(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): Pass1 = {
     val cell = lit(cellSize)
@@ -53,7 +53,6 @@ object Knn {
 
     val dist = (col("qlon").cast("double") - col("plon")) * (col("qlon").cast("double") - col("plon")) +
       (col("qlat").cast("double") - col("plat")) * (col("qlat").cast("double") - col("plat"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("pid"))
 
     // pass 1: 3x3 block join. The probe side is a small sample by
     // construction (kNN query sets are orders of magnitude smaller than
@@ -68,11 +67,21 @@ object Knn {
     val joined = broadcast(probes)
       .join(pts, col("jcx") === col("pcx") && col("jcy") === col("pcy") && col("qid") =!= col("pid"))
       .withColumn("d", dist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+
+    // per-query top-k via the BOUNDED k-slot aggregate (plans.DistTopK),
+    // not row_number over a window: the window shape shuffles AND SORTS
+    // every pass-1 candidate row; the aggregate combines map-side and
+    // ships only k-sized buffers through the exchange. Output rows carry
+    // (n = total candidates, items = k smallest (d, pid) ascending) —
+    // the same (d, pid) tie rule as the window it replaces, plus the
+    // candidate count certification needs, in ONE operator with no
+    // partition-by-qid sort anywhere.
+    val agged0 = joined
+      .groupBy("qid", "qlon", "qlat", "qcx", "qcy")
+      .agg(graft.plans.DistTopK(col("d"), col("pid"), k).as("tk"))
 
     // guaranteed radius: distance from query to its 3x3 block edge
-    // (query-side columns survive the join, so this evaluates per row)
+    // (the grouping keys carry the query-side columns through)
     val margin =
       least(
         col("qlon").cast("long") + 1800000000L - (col("qcx") - 1) * cell,
@@ -84,23 +93,21 @@ object Knn {
     // exactness, so an outside point at exactly the block-edge distance
     // could tie the k-th candidate; boundary ties must fall through to
     // the brute-force pass where the oracle's (d, pid) order decides.
-    // Certification via window aggregates over the SAME ranked frame (one
-    // partition-by-qid exchange, reused) rather than a groupBy + join-back
-    // — the former three-fold re-execution of the candidate join is gone.
     // Queries with zero pass-1 candidates have no rows here and fall to
     // the brute tail via the left_anti below.
-    val wq = Window.partitionBy(col("qid"))
-    val ranked = joined
-      .withColumn("final",
-        count(lit(1)).over(wq) === k && max(col("d")).over(wq) < margin * margin)
+    val agged = agged0.withColumn("final",
+      col("tk").getField("n") >= k &&
+        element_at(col("tk").getField("items"), k).getField("d") < margin * margin)
 
-    Pass1(ranked, qs, pts, dist, w)
+    Pass1(agged, qs, pts, dist)
   }
 
   def apply(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): DataFrame = {
     val p = pass1(points, queries, k, cellSize)
 
-    val resolved = p.ranked.filter(col("final"))
+    val resolved = p.agged.filter(col("final"))
+      .select(col("qid"), posexplode(col("tk").getField("items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"), col("col").getField("pid").as("pid"))
 
     // pass 2: brute force for queries pass 1 could not certify — the
     // uncertified set is tiny (asserted via certStats), so broadcast it;
@@ -108,12 +115,14 @@ object Knn {
     // join) would ship the whole cloud
     // broadcast the certified-qid list too: otherwise the anti join plans
     // as a sort-merge with exchanges on both sides
-    val certifiedQids = broadcast(p.ranked.filter(col("final")).select("qid"))
+    val certifiedQids = broadcast(p.agged.filter(col("final")).select("qid"))
     val brute = broadcast(p.qs.join(certifiedQids, Seq("qid"), "left_anti"))
       .join(p.pts, col("qid") =!= col("pid"))
       .withColumn("d", p.dist)
-      .withColumn("rk", row_number().over(p.w))
-      .filter(col("rk") <= k)
+      .groupBy("qid")
+      .agg(graft.plans.DistTopK(col("d"), col("pid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk").getField("items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"), col("col").getField("pid").as("pid"))
 
     resolved.select("qid", "rk", "pid")
       .unionByName(brute.select("qid", "rk", "pid"))
@@ -125,6 +134,6 @@ object Knn {
     */
   def certStats(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): (Long, Long) = {
     val p = pass1(points, queries, k, cellSize)
-    (p.ranked.filter(col("final")).select("qid").distinct().count(), p.qs.count())
+    (p.agged.filter(col("final")).count(), p.qs.count())
   }
 }

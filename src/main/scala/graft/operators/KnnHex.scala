@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Exact kNN via hex-ring expansion (the H3-style path the north star
   * names), fully shuffle-native: points are bucketed into hex cells and the
@@ -90,35 +89,41 @@ object KnnHex {
     val dist: Column =
       (col("qlon").cast("double") - col("plon")) * (col("qlon").cast("double") - col("plon")) +
         (col("qlat").cast("double") - col("plat")) * (col("qlat").cast("double") - col("plat"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("pid"))
+
+    /** struct(n, items) -> (qid, rk, pid) rows. */
+    def explodeTopk(agged: DataFrame): DataFrame =
+      agged.select(col("qid"), posexplode(col("tk").getField("items")))
+        .select(col("qid"), (col("pos") + 1).as("rk"), col("col").getField("pid").as("pid"))
 
     /** one expansion pass: co-partitioned cell join out to hex distance
-      * maxD, per-query top-k, and the certified/unresolved split. */
+      * maxD, per-query top-k via the bounded DistTopK aggregate (k-slot
+      * buffers, map-side combine — no window sort over candidates; see
+      * Knn.pass1), and the certified/unresolved split. */
     def pass(qSet: DataFrame, maxD: Int): (DataFrame, DataFrame) = {
       // broadcast the (small) probe side so the point cloud streams
       // map-side instead of shuffling — see Knn.pass1
-      val topk = broadcast(qSet
+      val agged = broadcast(qSet
         .withColumn("jcell", explode(probeU(maxD)(col("qlon"), col("qlat")))))
         .join(pts, col("jcell") === col("pcell") && col("qid") =!= col("pid"))
         .withColumn("d", dist)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-      val certified = topk.groupBy(col("qid"))
-        .agg(count(lit(1)).as("n"), max(col("d")).as("kth"))
-        .filter(col("n") === k && col("kth") < lit(lbSq(maxD + 1)))
-        .select("qid")
-      val resolved = topk.join(broadcast(certified), Seq("qid"), "left_semi")
-      val unresolved = qSet.join(broadcast(certified), Seq("qid"), "left_anti")
+        .groupBy("qid")
+        .agg(graft.plans.DistTopK(col("d"), col("pid"), k).as("tk"))
+        .withColumn("final",
+          col("tk").getField("n") >= k &&
+            element_at(col("tk").getField("items"), k).getField("d") < lit(lbSq(maxD + 1)))
+      val resolved = explodeTopk(agged.filter(col("final")))
+      val unresolved = qSet.join(
+        broadcast(agged.filter(col("final")).select("qid")), Seq("qid"), "left_anti")
       (resolved, unresolved)
     }
 
     val (res1, un1) = pass(qs, 1)
     val (res2, un2) = pass(un1, 3)
-    val brute = broadcast(un2)
+    val brute = explodeTopk(broadcast(un2)
       .join(pts, col("qid") =!= col("pid"))
       .withColumn("d", dist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .groupBy("qid")
+      .agg(graft.plans.DistTopK(col("d"), col("pid"), k).as("tk")))
 
     Built(qs, res1, un1, res2, un2, brute)
   }

@@ -136,6 +136,12 @@ class PlanSpec extends AnyFunSuite {
     // tiny anti/semi joins must not plan as exchanged sort-merge joins
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // pass-1 top-k runs through the bounded DistTopK aggregate (partial
+    // ObjectHashAggregate map-side, k-sized buffers through the exchange)
+    // — never a partition-by-qid window sort over all candidates (the only
+    // remaining Window is the tiny brute-force tail)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("dist_topk"), p)
   }
 
   test("pip mask expression stays codegen'd") {
