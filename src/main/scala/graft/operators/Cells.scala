@@ -79,6 +79,22 @@ object HexCells {
   def hexDistance(q1: Int, r1: Int, q2: Int, r2: Int): Int =
     (math.abs(q1 - q2) + math.abs(r1 - r2) + math.abs((q1 + r1) - (q2 + r2))) / 2
 
+  /** packed ids of every cell at hex distance <= maxD from the point's own
+    * cell — the kNN probe neighbourhood as one flat primitive array
+    * (1 + 3*maxD*(maxD+1) entries), callable from generated code
+    * (graft.plans.HexProbes). */
+  def probes(lon: Int, lat: Int, res: Int, maxD: Int): Array[Long] = {
+    val (q, r) = cell(lon, lat, res)
+    val out = new Array[Long](1 + 3 * maxD * (maxD + 1))
+    var i = 0
+    var d = 0
+    while (d <= maxD) {
+      ring(q, r, d).foreach { case (a, b) => out(i) = pack(res, a, b); i += 1 }
+      d += 1
+    }
+    out
+  }
+
   /** EXACT min Euclidean distance from the center of a cell to any point of
     * any cell at hex distance exactly h (in `radius(res)` units x that
     * radius): the naive "big hexagon inradius" over-estimates because the

@@ -130,15 +130,16 @@ object GeoQueries {
     // oracle is the FROZEN expected table from the deterministic seed
     // (see FrozenOracles; cross-checked by CellsSpec unit properties)
     QueryDef.sql("g_cell_hex", FrozenOracles.gCellHex) { (s, dir) =>
-      val enc = udf((lon: Int, lat: Int) => HexCells.encode(lon, lat, 3))
-      img(s, dir).select(enc(col("lon"), col("lat")).as("cell"))
+      // native codegen expression (plans.HexCellId), not a row-boxing UDF
+      img(s, dir)
+        .select(graft.plans.CellId.hex(col("lon").cast("int"), col("lat").cast("int"), 3).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .orderBy("cell")
     },
 
     QueryDef.sql("g_cell_hilbert", FrozenOracles.gCellHilbert) { (s, dir) =>
-      val enc = udf((lon: Int, lat: Int) => HilbertCells.encode(lon, lat, 8))
-      img(s, dir).select(enc(col("lon"), col("lat")).as("cell"))
+      img(s, dir)
+        .select(graft.plans.CellId.hilbert(col("lon").cast("int"), col("lat").cast("int"), 8).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .orderBy("cell")
     },

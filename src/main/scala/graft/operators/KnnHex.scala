@@ -69,20 +69,13 @@ object KnnHex {
       lb * lb
     }
 
-    val cellU = udf { (lon: Int, lat: Int) =>
-      val (q, r) = HexCells.cell(lon, lat, res)
-      HexCells.pack(res, q, r)
-    }
-    def probeU(maxD: Int) = udf { (lon: Int, lat: Int) =>
-      val (q, r) = HexCells.cell(lon, lat, res)
-      (0 to maxD).flatMap(d => HexCells.ring(q, r, d))
-        .map { case (a, b) => HexCells.pack(res, a, b) }.toArray
-    }
-
     val pts = points
       .select(col("id").cast("long").as("pid"),
         col("lon").cast("int").as("plon"), col("lat").cast("int").as("plat"))
-      .withColumn("pcell", cellU(col("plon"), col("plat")))
+      // codegen cell encoder (plans.HexCellId) — the round-3 row-at-a-time
+      // UDFs for cell id / ring probes were the last interpreted kernels in
+      // an oracle-gated path
+      .withColumn("pcell", graft.plans.CellId.hex(col("plon"), col("plat"), res))
     val qs = queries.select(col("id").cast("long").as("qid"),
       col("lon").cast("int").as("qlon"), col("lat").cast("int").as("qlat"))
 
@@ -103,7 +96,8 @@ object KnnHex {
       // broadcast the (small) probe side so the point cloud streams
       // map-side instead of shuffling — see Knn.pass1
       val agged = broadcast(qSet
-        .withColumn("jcell", explode(probeU(maxD)(col("qlon"), col("qlat")))))
+        .withColumn("jcell",
+          explode(graft.plans.CellId.hexProbes(col("qlon"), col("qlat"), res, maxD))))
         .join(pts, col("jcell") === col("pcell") && col("qid") =!= col("pid"))
         .withColumn("d", dist)
         .groupBy("qid")

@@ -144,6 +144,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dist_topk"), p)
   }
 
+  test("hex/Hilbert cell encoders are native expressions, not UDFs") {
+    val df = sources.ImageTable.df(spark, dir).select(
+      plans.CellId.hex(col("lon").cast("int"), col("lat").cast("int"), 3).as("hx"),
+      plans.CellId.hilbert(col("lon").cast("int"), col("lat").cast("int"), 8).as("hb"),
+      plans.CellId.hexProbes(col("lon").cast("int"), col("lat").cast("int"), 5, 1).as("pr"))
+    val p = plan(df)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CodegenFallback"), p)
+    assert(p.linesIterator.exists(_.trim.contains("* Project")), p)
+    assert(p.contains("hex_cell") && p.contains("hilbert_cell") && p.contains("hex_probes"), p)
+  }
+
   test("pip mask expression stays codegen'd") {
     val df = sources.ImageTable.df(spark, dir)
       .select(operators.Pip.mask(col("lon"), col("lat"), operators.Pip.fixtureSet).as("m"))
