@@ -324,6 +324,7 @@ object DocQueries {
          |SELECT component, COUNT(*) AS n_members,
          |  CAST(bit_xor(id) AS BIGINT) AS member_xor
          |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -333,13 +334,29 @@ object DocQueries {
         .localCheckpoint()
       var changed = 1L
       while (changed > 0) {
+        // ONE job per round: the propagation join carries each node's own
+        // previous label through the min-aggregate (own=true rows), and an
+        // accumulator counts decreases while the eager localCheckpoint
+        // materializes — the former separate join-back + count() job per
+        // round is folded away. (Every dst id is also a seeded label id,
+        // so `old` is never null.)
+        val acc = s.sparkContext.longAccumulator("cc-changed")
         val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-          .select(col("dst").as("id"), col("lab"))
-        val next = labels.union(prop)
-          .groupBy("id").agg(min("lab").as("lab"))
+          .select(col("dst").as("id"), col("lab"), lit(false).as("own"))
+        val next = labels.select(col("id"), col("lab"), lit(true).as("own"))
+          .union(prop)
+          .groupBy("id")
+          .agg(min("lab").as("lab"), min(when(col("own"), col("lab"))).as("old"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, lab, old) =>
+              if (lab < old) acc.add(1L)
+              (id, lab)
+            }
+          }
+          .toDF("id", "lab")
           .localCheckpoint()
-        changed = next.join(labels.select(col("id"), col("lab").as("old")), Seq("id"))
-          .filter(col("lab") < col("old")).count()
+        changed = acc.value
         labels = next
       }
       labels.groupBy(col("lab").as("component"))
