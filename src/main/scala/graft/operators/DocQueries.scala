@@ -329,9 +329,23 @@ object DocQueries {
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lab", col("id"))
+      // init = HashMin round 1 fused in: label0 = min(id, min neighbour) —
+      // same shuffle cost as a bare distinct over the endpoints, one fewer
+      // convergence round (edges are bidirectional, so grouping by src
+      // covers every participating node)
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("lab"))
         .localCheckpoint()
+      // scale-adaptive join side: the label frame has one row per
+      // PARTICIPATING node. Below the threshold broadcast it so the edge
+      // list streams map-side every round (no per-round edge shuffle);
+      // above it fall back to the shuffle equi-join — the only shape that
+      // holds when the node set itself is beyond one executor's memory.
+      // (Explicit, because checkpointed frames carry no size stats for the
+      // planner's own auto-broadcast to act on.)
+      val nNodes = labels.count()
+      def joinSide(l: DataFrame) = if (nNodes <= 500000) broadcast(l) else l
       var changed = 1L
       while (changed > 0) {
         // ONE job per round: the propagation join carries each node's own
@@ -341,7 +355,7 @@ object DocQueries {
         // round is folded away. (Every dst id is also a seeded label id,
         // so `old` is never null.)
         val acc = s.sparkContext.longAccumulator("cc-changed")
-        val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        val prop = edges.join(joinSide(labels.withColumnRenamed("id", "src")), Seq("src"))
           .select(col("dst").as("id"), col("lab"), lit(false).as("own"))
         val next = labels.select(col("id"), col("lab"), lit(true).as("own"))
           .union(prop)
