@@ -119,16 +119,46 @@ object OmaCli {
     if (a.verbose == 0) spark.sparkContext.setLogLevel("WARN")
 
     // format dispatch (reference OSMReader.getReader): XML, O5M or PBF by
-    // magic bytes; parsed exactly once, stats and pipeline share the result
-    val in = OsmSource.read(a.input.toString)
+    // magic bytes — sniffed from the first 16 bytes, never the whole file
+    val head = {
+      val raf = new java.io.RandomAccessFile(a.input.toString, "r")
+      try {
+        val n = math.min(16L, raf.length()).toInt
+        val b = new Array[Byte](n); raf.readFully(b); b
+      } finally raf.close()
+    }
     if (a.verbose >= 1) System.err.println(s"converting ${a.input} -> ${a.output}")
-    if (a.verbose >= 2)
-      System.err.println(s"ingest: ${in.nodes.size} nodes, ${in.ways.size} ways, " +
-        s"${in.rels.size} relations, ${in.discardedTags} discardable tags dropped")
     // streamed sink: executors write chunk-body part files, the driver
     // stream-concatenates — driver memory stays O(chunk table)
-    val table = OmaPipeline.runToFile(spark, in, a.bbs, a.typ, a.features, a.zip,
-      a.oneElement, a.output.toString)
+    val table =
+      if (O5m.isO5m(head) || Pbf.isPbf(head)) {
+        // binary formats: fully distributed — the streaming skim plans byte
+        // ranges, executors decode them, and the element stream feeds the
+        // pipeline as a Dataset. No OsmInput ever materializes driver-side,
+        // so input size is bounded by the cluster, not driver memory.
+        // Persisted because reunify's joins consume the stream repeatedly.
+        val rows = (if (O5m.isO5m(head)) OsmSource.o5mScan(spark, a.input.toString)
+                    else OsmSource.pbfScan(spark, a.input.toString))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (a.verbose >= 2) {
+            val counts = rows.groupBy("kind").count().collect()
+              .map(r => s"${r.getLong(1)} ${r.getString(0)}s").mkString(", ")
+            System.err.println(s"ingest (distributed scan): $counts")
+          }
+          OmaPipeline.runToFile(spark, rows, a.bbs, a.typ, a.features, a.zip,
+            a.oneElement, a.output.toString)
+        } finally rows.unpersist()
+      } else {
+        // XML: one driver-side parse (a single XML document is inherently
+        // sequential), then the same distributed pipeline
+        val in = OsmSource.read(a.input.toString)
+        if (a.verbose >= 2)
+          System.err.println(s"ingest: ${in.nodes.size} nodes, ${in.ways.size} ways, " +
+            s"${in.rels.size} relations, ${in.discardedTags} discardable tags dropped")
+        OmaPipeline.runToFile(spark, in, a.bbs, a.typ, a.features, a.zip,
+          a.oneElement, a.output.toString)
+      }
     if (a.verbose >= 1)
       System.err.println(s"wrote ${Files.size(a.output)} bytes, ${table.length} chunks")
     if (preExisting.isEmpty) spark.stop()

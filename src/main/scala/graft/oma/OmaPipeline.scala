@@ -125,8 +125,18 @@ object OmaPipeline {
 
   /** Same, from an already-parsed input (any source format — XML/O5M/PBF). */
   def run(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
-          features: Int, zip: Boolean, oneElement: Boolean): Result = {
-    val p = prepare(spark, input, bbsText, typeText, features, zip, oneElement)
+          features: Int, zip: Boolean, oneElement: Boolean): Result =
+    runFrom(spark, prepare(spark, input, bbsText, typeText, features, zip, oneElement),
+      features, zip, oneElement)
+
+  /** Same, from the scans' distributed element stream. */
+  def run(spark: SparkSession, rows: Dataset[OsmRow], bbsText: String, typeText: String,
+          features: Int, zip: Boolean, oneElement: Boolean): Result =
+    runFrom(spark, prepare(spark, rows, bbsText, typeText, features, zip, oneElement),
+      features, zip, oneElement)
+
+  private def runFrom(spark: SparkSession, p: Prepared,
+                      features: Int, zip: Boolean, oneElement: Boolean): Result = {
     val parts = p.bodies.collect().sortBy(t => (t._1, t._2, t._3))
     val chunkParts = parts.toSeq.map { case (_, tile, _, kindStr, body) =>
       (kindStr.charAt(0), p.boundsOf(tile), body)
@@ -147,8 +157,22 @@ object OmaPipeline {
     */
   def runToFile(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
                 features: Int, zip: Boolean, oneElement: Boolean,
-                outPath: String): Seq[(Long, Char, Bbox)] = {
-    val p = prepare(spark, input, bbsText, typeText, features, zip, oneElement)
+                outPath: String): Seq[(Long, Char, Bbox)] =
+    runToFileFrom(spark, prepare(spark, input, bbsText, typeText, features, zip, oneElement),
+      features, zip, oneElement, outPath)
+
+  /** Fully distributed end-to-end conversion: a scan Dataset in, a streamed
+    * .oma file out — the planet shape (no OsmInput ever exists).
+    */
+  def runToFile(spark: SparkSession, rows: Dataset[OsmRow], bbsText: String, typeText: String,
+                features: Int, zip: Boolean, oneElement: Boolean,
+                outPath: String): Seq[(Long, Char, Bbox)] =
+    runToFileFrom(spark, prepare(spark, rows, bbsText, typeText, features, zip, oneElement),
+      features, zip, oneElement, outPath)
+
+  private def runToFileFrom(spark: SparkSession, p: Prepared,
+                            features: Int, zip: Boolean, oneElement: Boolean,
+                            outPath: String): Seq[(Long, Char, Bbox)] = {
     val tmpDir = java.nio.file.Files.createTempDirectory("omaparts").toString
     import spark.implicits._
     val meta = p.bodies.mapPartitions { it =>
@@ -207,9 +231,23 @@ object OmaPipeline {
   /** Everything up to (but excluding) the driver-side assembly: reunify,
     * tile, classify, and serialize chunk bodies on executors. */
   private def prepare(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
-                      features: Int, zip: Boolean, oneElement: Boolean): Prepared = {
+                      features: Int, zip: Boolean, oneElement: Boolean): Prepared =
+    prepareFrom(spark, ReunifySpark.reunify(spark, input), bbsText, typeText,
+      features, zip, oneElement)
+
+  /** Distributed-ingest variant: the element stream arrives as the scans'
+    * Dataset[OsmRow] — nothing element-level ever materializes driver-side.
+    */
+  private def prepare(spark: SparkSession, rows: Dataset[OsmRow], bbsText: String, typeText: String,
+                      features: Int, zip: Boolean, oneElement: Boolean): Prepared =
+    prepareFrom(spark, ReunifySpark.reunify(spark, rows), bbsText, typeText,
+      features, zip, oneElement)
+
+  private def prepareFrom(spark: SparkSession, reunified: (Option[Bbox], Dataset[El]),
+                          bbsText: String, typeText: String,
+                          features: Int, zip: Boolean, oneElement: Boolean): Prepared = {
     val cfg = TypeConfig.parse(typeText)
-    val (bboxOpt, els) = ReunifySpark.reunify(spark, input)
+    val (bboxOpt, els) = reunified
     val inputBounds = bboxOpt.getOrElse(Bbox.WholeWorld)
     val index = new TileIndex(Bbs.expand(Bbs.parse(bbsText), inputBounds))
     val headerBbox = bboxOpt.getOrElse(Bbox.NoBounds)

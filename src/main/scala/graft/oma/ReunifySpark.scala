@@ -13,6 +13,15 @@ import graft.core.Bbox
   * (G4/G5) in flatMapGroups, and the untagged-unreferenced drop (P2).
   * The multi-pass memory-bounded repair loops (J2) are deliberately not
   * ported: one shuffle join replaces k passes.
+  *
+  * FULLY DISTRIBUTED: [[reunify(spark:org\.apache\.spark\.sql\.SparkSession,rows:org\.apache\.spark\.sql\.Dataset[graft\.oma\.OsmRow])* reunify(rows)]]
+  * takes the element stream as a `Dataset[OsmRow]` (the shape the
+  * o5m/pbf/oma scans emit), so a planet-scale conversion never materializes
+  * the input on the driver: relation splitting, backlink grouping and the
+  * per-relation metadata attachment are joins/groupBys, not driver maps.
+  * Element order is the element ID within each kind — identical to input
+  * order for spec-compliant (id-sorted) OSM files, which both the o5m and
+  * pbf specs require and every golden fixture satisfies.
   */
 object ReunifySpark {
 
@@ -23,44 +32,63 @@ object ReunifySpark {
                            tags: Map[String, String], meta: Meta)
   final case class WayRow(seq: Long, id: Long, nds: Seq[Long],
                           tags: Map[String, String], meta: Meta)
+  final case class RelRow(relSeq: Long, id: Long, members: Seq[OsmMember],
+                          tags: Map[String, String], meta: Meta)
+  final case class CollRow(relSeq: Long, id: Long, kept: Seq[OsmMember],
+                           tags: Map[String, String], meta: Meta)
   final case class RelMemberRow(relSeq: Long, relId: Long, memberIdx: Int,
                                 role: String, mtype: String, ref: Long)
-  final case class RelInfo(relSeq: Long, relId: Long, branch: String, // mp | restr | coll
-                           tags: Map[String, String], meta: Meta)
   final case class ResolvedMember(relSeq: Long, memberIdx: Int, role: String,
                                   isNode: Boolean, lon: Seq[Int], lat: Seq[Int])
   final case class BackRow(kind: String, ref: Long, links: Seq[BackLink])
+  final case class RelMetaRow(relSeq: Long, meta: Meta,
+                              tags: Map[String, String], links: Seq[BackLink])
+  final case class GeomPartial(relSeq: Long, sub: Int,
+                               lon: Seq[Int], lat: Seq[Int],
+                               holesLon: Seq[Seq[Int]], holesLat: Seq[Seq[Int]])
 
   def markerLon(id: Long): Int = ((IdMarker + id) >> 32).toInt
   def markerLat(id: Long): Int = (IdMarker + id).toInt
 
-  /** Full step-1 result: the input bbox (the 'B' record: min/max over ALL
-    * nodes, Reunify.java:241-242) plus the ordered element stream.
+  /** Driver-materialized entry (XML parse, golden fixtures, CLI stats):
+    * delegates to the distributed path over the same rows.
     */
   def reunify(spark: SparkSession, input: OsmInput): (Option[Bbox], Dataset[El]) = {
     import spark.implicits._
+    reunify(spark, spark.createDataset(OsmSource.toRows(input)))
+  }
 
-    val nodes: Dataset[NodeRow] = spark.createDataset(
-      input.nodes.zipWithIndex.map { case (n, i) => NodeRow(i.toLong, n.meta.id, n.lon, n.lat, n.tags, n.meta) })
-    val ways: Dataset[WayRow] = spark.createDataset(
-      input.ways.zipWithIndex.map { case (w, i) => WayRow(i.toLong, w.meta.id, w.nds, w.tags, w.meta) })
+  /** Full step-1 result from a distributed element stream: the input bbox
+    * (the 'B' record: min/max over ALL nodes, Reunify.java:241-242) plus
+    * the ordered element stream.
+    */
+  def reunify(spark: SparkSession, rows: Dataset[OsmRow]): (Option[Bbox], Dataset[El]) = {
+    import spark.implicits._
 
-    val bbox: Option[Bbox] =
-      if (input.nodes.isEmpty) None
-      else {
-        val r = nodes.agg(min("lon"), min("lat"), max("lon"), max("lat")).head()
-        Some(Bbox(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
-      }
+    val nodes: Dataset[NodeRow] = rows.filter(_.kind == "node").map { r =>
+      NodeRow(r.id, r.id, r.lon, r.lat, r.tags,
+        Meta(r.id, r.version, r.ts, r.cs, r.uid, r.user))
+    }
+    val ways: Dataset[WayRow] = rows.filter(_.kind == "way").map { r =>
+      WayRow(r.id, r.id, r.nds, r.tags,
+        Meta(r.id, r.version, r.ts, r.cs, r.uid, r.user))
+    }
+    val rels: Dataset[RelRow] = rows.filter(_.kind == "relation").map { r =>
+      val members = r.mtypes.indices.map(i => OsmMember(r.mtypes(i), r.mrefs(i), r.mroles(i)))
+      RelRow(r.id, r.id, members, r.tags,
+        Meta(r.id, r.version, r.ts, r.cs, r.uid, r.user))
+    }
+
+    val bbox: Option[Bbox] = {
+      val r = nodes.agg(min("lon"), min("lat"), max("lon"), max("lat")).head()
+      if (r.isNullAt(0)) None
+      else Some(Bbox(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
 
     // ---- relation split (P3/P4) -------------------------------------------
-    // classify each relation and mark consumed members, all order-preserving
-    val relRows = input.rels.zipWithIndex
-    def relType(r: OsmRelation): String = r.tags.getOrElse("type", null)
-
-    val mpRel = relRows.filter { case (r, _) =>
-      val t = relType(r); t == "multipolygon" || t == "boundary" }
-    val restrRel = relRows.filter { case (r, _) =>
-      val t = relType(r); t == "restriction" || t == "destination_sign" }
+    def relType(tags: Map[String, String]): String = tags.getOrElse("type", null)
+    def isMp(t: String): Boolean = t == "multipolygon" || t == "boundary"
+    def isRestr(t: String): Boolean = t == "restriction" || t == "destination_sign"
 
     def mpConsumed(m: OsmMember): Boolean =
       m.mtype == "way" && (m.role == "outer" || m.role == "inner")
@@ -69,33 +97,46 @@ object ReunifySpark {
     def restrConsumedNode(m: OsmMember): Boolean =
       m.mtype == "node" && (m.role == "via" || m.role == "intersection")
 
+    val mpRel: Dataset[RelRow] = rels.filter(r => isMp(relType(r.tags)))
+    val restrRel: Dataset[RelRow] = rels.filter(r => isRestr(relType(r.tags)))
+
     // collections: every relation whose member list retains >= 1 member
-    val collRel = relRows.flatMap { case (r, i) =>
-      val t = relType(r)
+    val collRel: Dataset[CollRow] = rels.flatMap { r =>
+      val t = relType(r.tags)
       val kept = r.members.filter { m =>
         val consumed =
-          ((t == "multipolygon" || t == "boundary") && mpConsumed(m)) ||
-            ((t == "restriction" || t == "destination_sign") && (restrConsumedWay(m) || restrConsumedNode(m)))
+          (isMp(t) && mpConsumed(m)) ||
+            (isRestr(t) && (restrConsumedWay(m) || restrConsumedNode(m)))
         !consumed
       }
-      if (kept.isEmpty) None else Some((r, i.toLong, kept))
+      if (kept.isEmpty) None else Some(CollRow(r.relSeq, r.id, kept, r.tags, r.meta))
     }
 
     // ---- J4: membership backlinks (from collections only) -----------------
-    // list order = relation input order, then member position
-    val backlinks: Map[(String, Long), Seq[BackLink]] = {
-      val all = collRel.flatMap { case (r, relSeq, kept) =>
-        kept.zipWithIndex.map { case (m, nr) =>
-          ((m.mtype.substring(0, 1), m.ref), (relSeq, BackLink(r.meta.id, m.role, nr)))
+    // list order = relation id order (= input order for sorted files), then
+    // member position — a distributed groupBy, never a driver map
+    val backRows: Dataset[BackRow] = collRel
+      .flatMap { c =>
+        c.kept.zipWithIndex.map { case (m, nr) =>
+          (m.mtype.substring(0, 1), m.ref, c.relSeq, BackLink(c.id, m.role, nr))
         }
       }
-      all.groupBy(_._1).map { case (k, vs) => k -> vs.sortBy(_._2._1).map(_._2._2) }
-    }
-    val blNodes: Dataset[BackRow] = spark.createDataset(
-      backlinks.collect { case (("n", ref), ls) => BackRow("n", ref, ls) }.toSeq)
-    val blWays: Dataset[BackRow] = spark.createDataset(
-      backlinks.collect { case (("w", ref), ls) => BackRow("w", ref, ls) }.toSeq)
-    def blRel(id: Long): Seq[BackLink] = backlinks.getOrElse(("r", id), Nil)
+      .groupByKey(b => (b._1, b._2))
+      .mapGroups { (key, it) =>
+        val links = it.toSeq.sortBy(b => (b._3, b._4.nr)).map(_._4)
+        BackRow(key._1, key._2, links)
+      }
+    val blNodes = backRows.filter(_.kind == "n")
+    val blWays = backRows.filter(_.kind == "w")
+    val blRels = backRows.filter(_.kind == "r")
+
+    /** relation metadata + its own backlinks, joined (not broadcast from a
+      * driver map) so the per-relation attachment scales with the data. */
+    def relMetaOf(relDs: Dataset[RelRow]): Dataset[RelMetaRow] =
+      relDs.joinWith(blRels, relDs("id") === blRels("ref"), "left_outer")
+        .map { case (r, bl) =>
+          RelMetaRow(r.relSeq, r.meta, r.tags, Option(bl).map(_.links).getOrElse(Nil))
+        }
 
     // ---- N: nodes + backlinks, untagged-unreferenced drop (P2) ------------
     val elNodes: Dataset[El] = nodes
@@ -148,18 +189,17 @@ object ReunifySpark {
       }
       .toDF("gwid", "glon", "glat")
 
-    def resolveMembers(rels: Seq[(OsmRelation, Int)], wayFilter: OsmMember => Boolean,
+    def resolveMembers(relDs: Dataset[RelRow], wayFilter: OsmMember => Boolean,
                        nodeFilter: OsmMember => Boolean): Dataset[ResolvedMember] = {
       // member order on the wire: all way members first, then node members
       // (Reunify.java:332-348) — memberIdx reflects that emission order
-      val rows = rels.flatMap { case (r, i) =>
+      val ds: Dataset[RelMemberRow] = relDs.flatMap { r =>
         val wm = r.members.filter(wayFilter).map(m => (m, false))
         val nm = r.members.filter(nodeFilter).map(m => (m, true))
         (wm ++ nm).zipWithIndex.map { case ((m, isNode), mi) =>
-          RelMemberRow(i.toLong, r.meta.id, mi, m.role, if (isNode) "node" else "way", m.ref)
+          RelMemberRow(r.relSeq, r.id, mi, m.role, if (isNode) "node" else "way", m.ref)
         }
       }
-      val ds = spark.createDataset(rows)
       val wayMembers = ds.filter(_.mtype == "way").toDF()
         .join(wayGeo, col("ref") === col("gwid"), "left")
         .as[(Long, Long, Int, String, String, Long, Option[Long], Option[Seq[Int]], Option[Seq[Int]])]
@@ -181,32 +221,37 @@ object ReunifySpark {
     }
 
     // ---- G4: multipolygon assembly -> Areas -------------------------------
-    val mpInfo = mpRel.map { case (r, i) => i.toLong -> (r.meta, r.tags, blRel(r.meta.id)) }.toMap
-    val mpInfoB = spark.sparkContext.broadcast(mpInfo)
+    // assemble per relation (flatMapGroups), then JOIN the relation's
+    // meta/tags/backlinks on — the former driver-side broadcast map of all
+    // relation metadata is gone
     val mpMembers = resolveMembers(mpRel, mpConsumed, _ => false)
-    val elAreas: Dataset[El] = mpMembers
+    val areaParts: Dataset[GeomPartial] = mpMembers
       .groupByKey(_.relSeq)
       .flatMapGroups { (relSeq, it) =>
         val ms = it.toIndexedSeq.sortBy(_.memberIdx)
         val outer = ms.filter(_.role != "inner").map(m => (m.lon.toArray, m.lat.toArray))
         val inner = ms.filter(_.role == "inner").map(m => (m.lon.toArray, m.lat.toArray))
         val areas = Assembly.sortRings(Assembly.createRings(outer), Assembly.createRings(inner))
-        val (meta, tags, links) = mpInfoB.value(relSeq)
         areas.zipWithIndex.map { case (a, ai) =>
           // the closing duplicate vertex is stripped on write (rings keep it
           // through nesting; Reunify.java:1240-1255)
-          El("A", relSeq, ai, meta,
-            a.lon.dropRight(1), a.lat.dropRight(1),
-            a.holesLon.map(_.dropRight(1)), a.holesLat.map(_.dropRight(1)),
-            tags, links.toArray)
+          GeomPartial(relSeq, ai, a.lon.dropRight(1).toSeq, a.lat.dropRight(1).toSeq,
+            a.holesLon.map(_.dropRight(1).toSeq).toSeq, a.holesLat.map(_.dropRight(1).toSeq).toSeq)
         }
+      }
+    val mpMeta = relMetaOf(mpRel)
+    val elAreas: Dataset[El] = areaParts
+      .joinWith(mpMeta, areaParts("relSeq") === mpMeta("relSeq"))
+      .map { case (p, m) =>
+        El("A", p.relSeq, p.sub, m.meta,
+          p.lon.toArray, p.lat.toArray,
+          p.holesLon.map(_.toArray).toArray, p.holesLat.map(_.toArray).toArray,
+          m.tags, m.links.toArray)
       }
 
     // ---- G5: restriction path assembly -> synthetic Ways ------------------
-    val restrInfo = restrRel.map { case (r, i) => i.toLong -> (r.meta, r.tags, blRel(r.meta.id)) }.toMap
-    val restrInfoB = spark.sparkContext.broadcast(restrInfo)
     val restrMembers = resolveMembers(restrRel, restrConsumedWay, restrConsumedNode)
-    val elRelWays: Dataset[El] = restrMembers
+    val wayParts: Dataset[GeomPartial] = restrMembers
       .groupByKey(_.relSeq)
       .flatMapGroups { (relSeq, it) =>
         val ms = it.toIndexedSeq.sortBy(_.memberIdx)
@@ -215,23 +260,38 @@ object ReunifySpark {
         val to = ms.filter(m => !m.isNode && m.role == "to").map(pts)
         val via = ms.filter(m => (!m.isNode && m.role != "from" && m.role != "to") || m.isNode).map(pts)
         val ways = Assembly.createWays(from, via, to)
-        val (meta, tags, links) = restrInfoB.value(relSeq)
         ways.zipWithIndex.map { case ((lon, lat), wi) =>
-          El("W", relSeq, wi, meta, lon, lat, Array.empty, Array.empty, tags, links.toArray)
+          GeomPartial(relSeq, wi, lon.toSeq, lat.toSeq, Nil, Nil)
         }
+      }
+    val restrMeta = relMetaOf(restrRel)
+    val elRelWays: Dataset[El] = wayParts
+      .joinWith(restrMeta, wayParts("relSeq") === restrMeta("relSeq"))
+      .map { case (p, m) =>
+        El("W", p.relSeq, p.sub, m.meta, p.lon.toArray, p.lat.toArray,
+          Array.empty, Array.empty, m.tags, m.links.toArray)
       }
 
     // ---- C: collections ----------------------------------------------------
-    val elColls: Dataset[El] = spark.createDataset(
-      collRel.map { case (r, relSeq, _) =>
-        El("C", relSeq, 0, r.meta, Array.empty, Array.empty, Array.empty, Array.empty,
-          r.tags, blRel(r.meta.id).toArray)
-      })
+    val elColls: Dataset[El] = collRel
+      .joinWith(blRels, collRel("id") === blRels("ref"), "left_outer")
+      .map { case (c, bl) =>
+        El("C", c.relSeq, 0, c.meta, Array.empty, Array.empty, Array.empty, Array.empty,
+          c.tags, Option(bl).map(_.links).getOrElse(Nil).toArray)
+      }
 
     // ---- interleave in the reference's emission order ----------------------
-    // N* then plain W*, synthetic W*, A*, C* — encode a global order key
+    // N* then plain W*, synthetic W*, A*, C* — encode a global order key:
+    // 3 bits stream rank | 48 bits element id | 12 bits sub-piece. The id
+    // field carries real OSM ids (up to 2^48 ~ 2.8e14 — two orders of
+    // magnitude above today's planet), unlike the former 28-bit input-index
+    // packing which capped a file at 268M elements.
     def withOrder(ds: Dataset[El], rank: Int): Dataset[El] =
-      ds.map(e => e.copy(seq = (rank.toLong << 40) | (e.seq << 12) | e.sub))
+      ds.map { e =>
+        require(e.seq < (1L << 48) && e.sub < (1 << 12),
+          s"order-key overflow: id=${e.seq} sub=${e.sub}")
+        e.copy(seq = (rank.toLong << 60) | (e.seq << 12) | e.sub)
+      }
     val all = withOrder(elNodes, 0)
       .unionByName(withOrder(elWays, 1))
       .unionByName(withOrder(elRelWays, 2))

@@ -116,6 +116,24 @@ class OsmSourceStreamSpec extends AnyFunSuite {
       .map(f => (f.offset, f.offset + f.len)).toSet
     assert(RecordingStore.ranges.asScala.toSet == dataFrames)
   }
+  test("scan-fed conversion is byte-identical to driver-ingest conversion") {
+    // the fully distributed path: streaming skim -> executor byte-range
+    // decode -> Dataset[OsmRow] -> reunify/tile/classify -> .oma, with no
+    // OsmInput ever materialized driver-side — must produce the same
+    // container bytes as the driver-ingest overload (and transitively match
+    // oma.jar, which the golden suites pin against that overload)
+    val dir = Files.createTempDirectory("scanconv")
+    val o5mF = dir.resolve("c.o5m"); Files.write(o5mF, o5mBytes)
+    val pbfF = dir.resolve("c.pbf"); Files.write(pbfF, pbfBytes)
+    val want = OmaPipeline.run(spark, OsmSource.read(o5mBytes),
+      Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = true, oneElement = false).bytes
+    val viaO5m = OmaPipeline.run(spark, OsmSource.o5mScan(spark, o5mF.toString),
+      Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = true, oneElement = false).bytes
+    val viaPbf = OmaPipeline.run(spark, OsmSource.pbfScan(spark, pbfF.toString, parts = 4),
+      Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = true, oneElement = false).bytes
+    assert(java.util.Arrays.equals(viaO5m, want), "o5m scan-fed conversion differs")
+    assert(java.util.Arrays.equals(viaPbf, want), "pbf scan-fed conversion differs")
+  }
 }
 
 object OsmSourceStreamSpec {
