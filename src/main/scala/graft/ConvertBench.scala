@@ -89,15 +89,20 @@ object ConvertBench {
     val refSec = (System.nanoTime() - t0) / 1e9
     require(rc == 0, s"oma.jar failed: $cmd")
 
-    // our run (same file, same configs) through the streamed sink
+    // our run (same file, same configs): the fully DISTRIBUTED path the CLI
+    // takes for binary inputs — streaming skim -> executor byte-range
+    // decode -> Dataset -> reunify/tile/classify -> streamed sink. No
+    // OsmInput ever materializes driver-side.
     val spark = Bench.session(cpus)
     val ourOut = dir.resolve("ours.oma")
     val t1 = System.nanoTime()
-    val in = OsmSource.read(o5m.toString)
-    val table = OmaPipeline.runToFile(spark, in,
+    val rows = OsmSource.o5mScan(spark, o5m.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val table = OmaPipeline.runToFile(spark, rows,
       Files.readString(refBbs), Files.readString(refType),
       features = 31, zip = true, oneElement = false, ourOut.toString)
     val ourSec = (System.nanoTime() - t1) / 1e9
+    rows.unpersist()
 
     // agreement: chunk tables (count, kind, bounds) and per-chunk element
     // counts — the element->chunk assignment summary
