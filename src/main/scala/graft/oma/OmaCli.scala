@@ -157,7 +157,7 @@ object OmaCli {
           System.err.println(s"ingest: ${in.nodes.size} nodes, ${in.ways.size} ways, " +
             s"${in.rels.size} relations, ${in.discardedTags} discardable tags dropped")
         OmaPipeline.runToFile(spark, in, a.bbs, a.typ, a.features, a.zip,
-          a.oneElement, a.output.toString)
+          a.oneElement, a.output.toString, graft.sources.PartStore.local)
       }
     if (a.verbose >= 1)
       System.err.println(s"wrote ${Files.size(a.output)} bytes, ${table.length} chunks")

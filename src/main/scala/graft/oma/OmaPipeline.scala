@@ -157,35 +157,40 @@ object OmaPipeline {
     */
   def runToFile(spark: SparkSession, input: OsmInput, bbsText: String, typeText: String,
                 features: Int, zip: Boolean, oneElement: Boolean,
-                outPath: String): Seq[(Long, Char, Bbox)] =
+                outPath: String,
+                store: graft.sources.PartStore): Seq[(Long, Char, Bbox)] =
     runToFileFrom(spark, prepare(spark, input, bbsText, typeText, features, zip, oneElement),
-      features, zip, oneElement, outPath)
+      features, zip, oneElement, outPath, store)
 
   /** Fully distributed end-to-end conversion: a scan Dataset in, a streamed
     * .oma file out — the planet shape (no OsmInput ever exists).
     */
   def runToFile(spark: SparkSession, rows: Dataset[OsmRow], bbsText: String, typeText: String,
                 features: Int, zip: Boolean, oneElement: Boolean,
-                outPath: String): Seq[(Long, Char, Bbox)] =
+                outPath: String,
+                store: graft.sources.PartStore = graft.sources.PartStore.local): Seq[(Long, Char, Bbox)] =
     runToFileFrom(spark, prepare(spark, rows, bbsText, typeText, features, zip, oneElement),
-      features, zip, oneElement, outPath)
+      features, zip, oneElement, outPath, store)
 
   private def runToFileFrom(spark: SparkSession, p: Prepared,
                             features: Int, zip: Boolean, oneElement: Boolean,
-                            outPath: String): Seq[(Long, Char, Bbox)] = {
-    val tmpDir = java.nio.file.Files.createTempDirectory("omaparts").toString
+                            outPath: String,
+                            store: graft.sources.PartStore): Seq[(Long, Char, Bbox)] = {
+    // all part-file IO through the PartStore seam — shared storage plugs in
+    // here on a real cluster (see graft.sources.PartStore)
+    val tmpDir = store.mkTempDir()
     import spark.implicits._
     val meta = p.bodies.mapPartitions { it =>
       it.map { case (kr, tile, sub, kind, body) =>
-        val f = java.nio.file.Paths.get(tmpDir, s"part_${kr}_${tile}_$sub")
-        java.nio.file.Files.write(f, body)
-        (kr, tile, sub, kind, body.length.toLong, f.toString)
+        val f = s"$tmpDir/part_${kr}_${tile}_$sub"
+        store.write(f, body)
+        (kr, tile, sub, kind, body.length.toLong, f)
       }
     }.collect().sortBy(t => (t._1, t._2, t._3))
 
     val feat = features | (if (oneElement) OmaWire.FeatOneElement else 0)
     val (header, ptrPos) = OmaWriter.headerBytes(feat, p.headerBbox, zip, p.catalog)
-    val fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath))
+    val fos = store.create(outPath)
     val table = Seq.newBuilder[(Long, Char, Bbox)]
     try {
       fos.write(header)
@@ -193,12 +198,12 @@ object OmaPipeline {
       val buf = new Array[Byte](1 << 16)
       meta.foreach { case (_, tile, _, kindStr, len, path) =>
         table += ((off, kindStr.charAt(0), p.boundsOf(tile)))
-        val in = new java.io.FileInputStream(path)
+        val in = store.open(path)
         try {
           var n = in.read(buf)
           while (n > 0) { fos.write(buf, 0, n); n = in.read(buf) }
         } finally in.close()
-        java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+        store.delete(path)
         off += len
       }
       val entries = table.result()
@@ -211,12 +216,11 @@ object OmaPipeline {
       fos.write(tb.toBytes)
       fos.flush()
       fos.close()
-      val raf = new java.io.RandomAccessFile(outPath, "rw")
-      try { raf.seek(ptrPos); raf.writeLong(off) } finally raf.close()
+      store.patchLong(outPath, ptrPos, off)
       entries
     } finally {
       fos.close()
-      scala.util.Try(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmpDir)))
+      store.deleteDir(tmpDir)
     }
   }
 

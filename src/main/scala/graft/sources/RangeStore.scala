@@ -80,3 +80,51 @@ object RangeStore {
     }
   }
 }
+
+/** Write-side counterpart of [[RangeStore]] for the streamed .oma sink
+  * (OmaPipeline.runToFile): executors write per-chunk part files, the
+  * driver streams them back, concatenates into the final container, and
+  * patches the chunk-table pointer. On local[32] a temp directory is
+  * trivially shared; on a real cluster every path here must resolve to the
+  * same bytes on every node — this trait is that contract in one place
+  * (an HDFS/S3-backed instance plugs in at the same seam as the read side).
+  */
+trait PartStore extends Serializable {
+  /** A fresh directory for part files, visible to driver AND executors. */
+  def mkTempDir(): String
+  /** Executor-side: write one part in full. */
+  def write(path: String, bytes: Array[Byte]): Unit
+  /** Driver-side: sequential stream over a written part. */
+  def open(path: String): java.io.InputStream
+  def delete(path: String): Unit
+  def deleteDir(path: String): Unit
+  /** Driver-side: create the final output object as a stream. */
+  def create(path: String): java.io.OutputStream
+  /** Patch 8 bytes (big-endian long) at `pos` of a written object — the
+    * chunk-table pointer fix-up after the body length is known. */
+  def patchLong(path: String, pos: Long, value: Long): Unit
+}
+
+object PartStore {
+  val local: PartStore = new PartStore {
+    override def mkTempDir(): String =
+      java.nio.file.Files.createTempDirectory("omaparts").toString
+    override def write(path: String, bytes: Array[Byte]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes); ()
+    }
+    override def open(path: String): java.io.InputStream =
+      new BufferedInputStream(Files.newInputStream(Paths.get(path)), 1 << 16)
+    override def delete(path: String): Unit = {
+      java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+    }
+    override def deleteDir(path: String): Unit = {
+      scala.util.Try(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))); ()
+    }
+    override def create(path: String): java.io.OutputStream =
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    override def patchLong(path: String, pos: Long, value: Long): Unit = {
+      val raf = new RandomAccessFile(path, "rw")
+      try { raf.seek(pos); raf.writeLong(value) } finally raf.close()
+    }
+  }
+}

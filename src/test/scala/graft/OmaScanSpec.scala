@@ -70,7 +70,7 @@ class OmaScanSpec extends AnyFunSuite {
     val out = Files.createTempFile("omastream", ".oma")
     val table = OmaPipeline.runToFile(spark, OsmXml.parse(OsmXml.write(Fixtures.fixture)),
       Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = true, oneElement = false,
-      out.toString)
+      out.toString, graft.sources.PartStore.local)
     val streamed = Files.readAllBytes(out)
     assert(java.util.Arrays.equals(streamed, omaBytes), "streamed file differs from in-memory bytes")
     assert(table.size == full.chunks.size)

@@ -116,6 +116,26 @@ class OsmSourceStreamSpec extends AnyFunSuite {
       .map(f => (f.offset, f.offset + f.len)).toSet
     assert(RecordingStore.ranges.asScala.toSet == dataFrames)
   }
+  test("streamed sink writes all part IO through the PartStore seam") {
+    import OsmSourceStreamSpec.RecordingPartStore
+    val out = Files.createTempFile("seamconv", ".oma").toString
+    RecordingPartStore.reset()
+    val table = OmaPipeline.runToFile(spark, OsmSource.read(o5mBytes),
+      Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = true, oneElement = false,
+      out, RecordingPartStore)
+    val want = OmaPipeline.run(spark, OsmSource.read(o5mBytes),
+      Fixtures.smallBbs, TypeConfig.Minimal, features = 31, zip = true, oneElement = false).bytes
+    assert(java.util.Arrays.equals(Files.readAllBytes(java.nio.file.Paths.get(out)), want),
+      "seam-routed streamed sink differs from the in-memory assembly")
+    // every chunk body: written exactly once by an executor, streamed back
+    // exactly once by the driver, then deleted; the final file created and
+    // patched through the seam too
+    assert(RecordingPartStore.written.size() == table.size, "one part per chunk")
+    assert(RecordingPartStore.opened.size() == table.size)
+    assert(RecordingPartStore.deleted.size() == table.size)
+    assert(RecordingPartStore.created.size() == 1 && RecordingPartStore.patched.size() == 1)
+  }
+
   test("scan-fed conversion is byte-identical to driver-ingest conversion") {
     // the fully distributed path: streaming skim -> executor byte-range
     // decode -> Dataset[OsmRow] -> reunify/tile/classify -> .oma, with no
@@ -141,6 +161,29 @@ object OsmSourceStreamSpec {
     * (not class-nested) so the executor closure serializes without dragging
     * the spec instance along; state is static — tasks run in-process on
     * local[4]. */
+  /** PartStore wrapper recording every sink-side IO call (top-level for
+    * closure serialization, like RecordingStore). */
+  object RecordingPartStore extends graft.sources.PartStore {
+    private val L = graft.sources.PartStore.local
+    val written = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val opened = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val deleted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val patched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def reset(): Unit = Seq(written, opened, deleted, created, patched).foreach(_.clear())
+    override def mkTempDir(): String = L.mkTempDir()
+    override def write(path: String, bytes: Array[Byte]): Unit = {
+      written.add(path); L.write(path, bytes)
+    }
+    override def open(path: String): java.io.InputStream = { opened.add(path); L.open(path) }
+    override def delete(path: String): Unit = { deleted.add(path); L.delete(path) }
+    override def deleteDir(path: String): Unit = L.deleteDir(path)
+    override def create(path: String): java.io.OutputStream = { created.add(path); L.create(path) }
+    override def patchLong(path: String, pos: Long, value: Long): Unit = {
+      patched.add(path); L.patchLong(path, pos, value)
+    }
+  }
+
   object RecordingStore extends RangeStore {
     val ranges = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     @volatile var opens = 0
