@@ -61,6 +61,10 @@ object ReunifySpark {
   /** Full step-1 result from a distributed element stream: the input bbox
     * (the 'B' record: min/max over ALL nodes, Reunify.java:241-242) plus
     * the ordered element stream.
+    *
+    * The stream is consumed several times (node/way/relation splits feed
+    * multiple joins) — callers holding an expensive-to-recompute source
+    * (a binary scan) should persist it first, as OmaCli does.
     */
   def reunify(spark: SparkSession, rows: Dataset[OsmRow]): (Option[Bbox], Dataset[El]) = {
     import spark.implicits._
