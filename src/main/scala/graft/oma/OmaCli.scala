@@ -19,6 +19,42 @@ import org.apache.spark.sql.SparkSession
   */
 object OmaCli {
 
+  /** F10: the reference's human-readable count formatter
+    * (Tools.java:31-37), semantics preserved exactly — 3-significant-digit
+    * decimal scaling with the "KMGTE" suffix alphabet, including the
+    * rounding quirk that 999,999 prints as "1000K" (precision depends on
+    * the DIGIT COUNT of the input, not the rounded value). One deliberate
+    * deviation: Locale.ROOT is pinned so the decimal separator is '.'
+    * everywhere (the reference formats in the default locale).
+    */
+  def humanReadable(l: Long): String = {
+    if (l < 1000) return l.toString
+    val digits = l.toString.length
+    val scaled = l / math.pow(10.0, 3 * ((digits - 1) / 3))
+    val prec = 2 - (digits - 1) % 3
+    // the reference's alphabet carries a leading space (index 0 is the
+    // unreachable <1000 bucket): " KMGTE"
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(scaled)) +
+      " KMGTE".charAt((digits - 1) / 3)
+  }
+
+  /** F10 inverse (Tools.java:39-55): suffix-scaled long, -1 on malformed
+    * input — the reference's parser for its -m/-c memory flags. */
+  def fromHumanReadable(s: String): Long = {
+    if (s == null || s.length < 2) return -1L
+    val mult = s.last match {
+      case 'K' | 'k' => 1000L
+      case 'M' | 'm' => 1000000L
+      case 'G' | 'g' => 1000000000L
+      case 'T' | 't' => 1000000000000L
+      case 'E' | 'e' => 1000000000000000L
+      case _ => 1L
+    }
+    val body = if (mult == 1L) s else s.dropRight(1)
+    try body.toLong * mult
+    catch { case _: NumberFormatException => -1L }
+  }
+
   final case class Args(input: Path, output: Path, bbs: String, typ: String,
                         features: Int, zip: Boolean, oneElement: Boolean, verbose: Int)
 
@@ -143,7 +179,7 @@ object OmaCli {
         try {
           if (a.verbose >= 2) {
             val counts = rows.groupBy("kind").count().collect()
-              .map(r => s"${r.getLong(1)} ${r.getString(0)}s").mkString(", ")
+              .map(r => s"${humanReadable(r.getLong(1))} ${r.getString(0)}s").mkString(", ")
             System.err.println(s"ingest (distributed scan): $counts")
           }
           OmaPipeline.runToFile(spark, rows, a.bbs, a.typ, a.features, a.zip,
@@ -154,13 +190,17 @@ object OmaCli {
         // sequential), then the same distributed pipeline
         val in = OsmSource.read(a.input.toString)
         if (a.verbose >= 2)
-          System.err.println(s"ingest: ${in.nodes.size} nodes, ${in.ways.size} ways, " +
-            s"${in.rels.size} relations, ${in.discardedTags} discardable tags dropped")
+          // Reunify.java:230 wording; counts through the F10 formatter
+          System.err.println(s"ingest: ${humanReadable(in.nodes.size)} nodes, " +
+            s"${humanReadable(in.ways.size)} ways and ${humanReadable(in.rels.size)} " +
+            s"relations read; ${in.discardedTags} discardable tags dropped")
         OmaPipeline.runToFile(spark, in, a.bbs, a.typ, a.features, a.zip,
           a.oneElement, a.output.toString, graft.sources.PartStore.local)
       }
     if (a.verbose >= 1)
-      System.err.println(s"wrote ${Files.size(a.output)} bytes, ${table.length} chunks")
+      // TypeAnalysis.java:708 "Filesize:" through the F10 formatter
+      System.err.println(s"wrote ${humanReadable(Files.size(a.output))} bytes " +
+        s"(${Files.size(a.output)}), ${table.length} chunks")
     if (preExisting.isEmpty) spark.stop()
   }
 }

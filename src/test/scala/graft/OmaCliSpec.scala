@@ -25,6 +25,30 @@ class OmaCliSpec extends AnyFunSuite {
     assert(OmaCli.parsePreserve("none") == 0)
   }
 
+  test("F10 humanReadable matches the reference formatter, quirks included") {
+    import graft.oma.OmaCli.{humanReadable, fromHumanReadable}
+    // Tools.java:31-37 — precision keyed to the digit count, "KMGTE" alphabet
+    assert(humanReadable(0) == "0")
+    assert(humanReadable(999) == "999")
+    assert(humanReadable(1000) == "1.00K")
+    assert(humanReadable(1499) == "1.50K")
+    assert(humanReadable(12345) == "12.3K")
+    assert(humanReadable(123456) == "123K")
+    assert(humanReadable(999999) == "1000K") // the digit-count rounding quirk
+    assert(humanReadable(1234567) == "1.23M")
+    assert(humanReadable(9876543210L) == "9.88G")
+    assert(humanReadable(1500000000000L) == "1.50T")
+    assert(humanReadable(2000000000000000L) == "2.00E")
+    // Tools.java:39-55 inverse
+    assert(fromHumanReadable("25K") == 25000L)
+    assert(fromHumanReadable("3m") == 3000000L)
+    assert(fromHumanReadable("7G") == 7000000000L)
+    assert(fromHumanReadable("42") == 42L)
+    assert(fromHumanReadable("x") == -1L)
+    assert(fromHumanReadable("12Q") == -1L)
+    assert(fromHumanReadable(null) == -1L)
+  }
+
   test("ingest surfaces the discarded-tag counter (reference A4)") {
     val in = OsmXml.parse(OsmXml.write(Fixtures.fixture))
     assert(in.discardedTags == 1L) // the fixture carries exactly one created_by
