@@ -109,6 +109,78 @@ object DocQueries {
       .select("a", "b", "i", "na", "nb")
   }
 
+  /** Transitive-closure CTE block over the confirmed pairs (appended after
+    * [[minhashOracleCtes]]; shared by the d_dup_groups / d_dup_reps
+    * oracles) — an algorithm-independent fixpoint vs the engine's HashMin. */
+  private def dupCompCtes: String =
+    """conf AS (SELECT a, b
+      |         FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |         WHERE 19 * i >= 9 * (sa.n + sb.n)),
+      |e AS (SELECT a AS s, b AS d FROM conf UNION SELECT b, a FROM conf),
+      |nn AS (SELECT DISTINCT s AS id FROM e),
+      |reach AS (SELECT id, id AS r FROM nn
+      |          UNION
+      |          SELECT e.d AS id, reach.r FROM reach JOIN e ON e.s = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** HashMin connected-component labels (id -> min id of its component)
+    * over the confirmed near-dup pair graph — the shared core of
+    * d_dup_groups and d_dup_reps. See the loop comments for the one-job
+    * rounds, the scale-adaptive broadcast and the fused init.
+    */
+  private def dupLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    // init = HashMin round 1 fused in: label0 = min(id, min neighbour) —
+    // same shuffle cost as a bare distinct over the endpoints, one fewer
+    // convergence round (edges are bidirectional, so grouping by src
+    // covers every participating node)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lab"))
+      .localCheckpoint()
+    // scale-adaptive join side: the label frame has one row per
+    // PARTICIPATING node. Below the threshold broadcast it so the edge
+    // list streams map-side every round (no per-round edge shuffle);
+    // above it fall back to the shuffle equi-join — the only shape that
+    // holds when the node set itself is beyond one executor's memory.
+    // (Explicit, because checkpointed frames carry no size stats for the
+    // planner's own auto-broadcast to act on.)
+    val nNodes = labels.count()
+    def joinSide(l: DataFrame) = if (nNodes <= 500000) broadcast(l) else l
+    var changed = 1L
+    while (changed > 0) {
+      // ONE job per round: the propagation join carries each node's own
+      // previous label through the min-aggregate (own=true rows), and an
+      // accumulator counts decreases while the eager localCheckpoint
+      // materializes — the former separate join-back + count() job per
+      // round is folded away. (Every dst id is also a seeded label id,
+      // so `old` is never null.)
+      val acc = s.sparkContext.longAccumulator("cc-changed")
+      val prop = edges.join(joinSide(labels.withColumnRenamed("id", "src")), Seq("src"))
+        .select(col("dst").as("id"), col("lab"), lit(false).as("own"))
+      val next = labels.select(col("id"), col("lab"), lit(true).as("own"))
+        .union(prop)
+        .groupBy("id")
+        .agg(min("lab").as("lab"), min(when(col("own"), col("lab"))).as("old"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, lab, old) =>
+            if (lab < old) acc.add(1L)
+            (id, lab)
+          }
+        }
+        .toDF("id", "lab")
+        .localCheckpoint()
+      changed = acc.value
+      labels = next
+    }
+    labels
+  }
+
   /** The minhash-LSH oracle pipeline as a CTE list ending in `inter` + `sz`
     * (shared verbatim by the d_minhash_lsh and d_dup_groups oracles). */
   private def minhashOracleCtes: String = {
@@ -312,70 +384,46 @@ object DocQueries {
     // without quadratic row lists).
     QueryDef.sql("d_dup_groups",
       s"""WITH RECURSIVE $minhashOracleCtes,
-         |conf AS (SELECT a, b
-         |         FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-         |         WHERE 19 * i >= 9 * (sa.n + sb.n)),
-         |e AS (SELECT a AS s, b AS d FROM conf UNION SELECT b, a FROM conf),
-         |nn AS (SELECT DISTINCT s AS id FROM e),
-         |reach AS (SELECT id, id AS r FROM nn
-         |          UNION
-         |          SELECT e.d AS id, reach.r FROM reach JOIN e ON e.s = reach.id),
-         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |$dupCompCtes
          |SELECT component, COUNT(*) AS n_members,
          |  CAST(bit_xor(id) AS BIGINT) AS member_xor
          |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
-      // init = HashMin round 1 fused in: label0 = min(id, min neighbour) —
-      // same shuffle cost as a bare distinct over the endpoints, one fewer
-      // convergence round (edges are bidirectional, so grouping by src
-      // covers every participating node)
-      var labels = edges.groupBy(col("src").as("id"))
-        .agg(min(col("dst")).as("nmin"))
-        .select(col("id"), least(col("id"), col("nmin")).as("lab"))
-        .localCheckpoint()
-      // scale-adaptive join side: the label frame has one row per
-      // PARTICIPATING node. Below the threshold broadcast it so the edge
-      // list streams map-side every round (no per-round edge shuffle);
-      // above it fall back to the shuffle equi-join — the only shape that
-      // holds when the node set itself is beyond one executor's memory.
-      // (Explicit, because checkpointed frames carry no size stats for the
-      // planner's own auto-broadcast to act on.)
-      val nNodes = labels.count()
-      def joinSide(l: DataFrame) = if (nNodes <= 500000) broadcast(l) else l
-      var changed = 1L
-      while (changed > 0) {
-        // ONE job per round: the propagation join carries each node's own
-        // previous label through the min-aggregate (own=true rows), and an
-        // accumulator counts decreases while the eager localCheckpoint
-        // materializes — the former separate join-back + count() job per
-        // round is folded away. (Every dst id is also a seeded label id,
-        // so `old` is never null.)
-        val acc = s.sparkContext.longAccumulator("cc-changed")
-        val prop = edges.join(joinSide(labels.withColumnRenamed("id", "src")), Seq("src"))
-          .select(col("dst").as("id"), col("lab"), lit(false).as("own"))
-        val next = labels.select(col("id"), col("lab"), lit(true).as("own"))
-          .union(prop)
-          .groupBy("id")
-          .agg(min("lab").as("lab"), min(when(col("own"), col("lab"))).as("old"))
-          .as[(Long, Long, Long)]
-          .mapPartitions { it =>
-            it.map { case (id, lab, old) =>
-              if (lab < old) acc.add(1L)
-              (id, lab)
-            }
-          }
-          .toDF("id", "lab")
-          .localCheckpoint()
-        changed = acc.value
-        labels = next
-      }
-      labels.groupBy(col("lab").as("component"))
+      dupLabels(s, dir)
+        .groupBy(col("lab").as("component"))
         .agg(count(lit(1)).as("n_members"), expr("bit_xor(id)").as("member_xor"))
         .orderBy("component")
+    },
+
+    // dedup OUTPUT (the step the grouping exists for): drop every non-
+    // representative member of each near-dup component, keep everything
+    // else, and emit the surviving corpus per language (count + an
+    // order-free xor of the surviving doc ids — row count stays linear
+    // while every kept id is pinned). The corpus is the same base+planted
+    // set the pair pipeline scans; the representative is the component's
+    // min doc_id, so every planted duplicate (id+20000000) drops and its
+    // source survives.
+    QueryDef.sql("d_dup_reps",
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |$dupCompCtes,
+         |corpus AS (SELECT doc_id, lang FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 20000000, lang FROM documents WHERE doc_id % 7 = 0),
+         |dropids AS (SELECT id FROM comp WHERE id <> component)
+         |SELECT lang, COUNT(*) AS n_kept, CAST(bit_xor(doc_id) AS BIGINT) AS kept_xor
+         |FROM corpus WHERE doc_id NOT IN (SELECT id FROM dropids)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "lang")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0).withColumn("doc_id", col("doc_id") + 20000000L))
+      // non-representative members of any component; broadcast anti-join —
+      // the drop list is bounded by the duplicate count, orders of
+      // magnitude smaller than the corpus
+      val drop = dupLabels(s, dir).filter(col("id") =!= col("lab"))
+        .select(col("id").as("doc_id"))
+      corpus.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), expr("bit_xor(doc_id)").as("kept_xor"))
+        .orderBy("lang")
     },
 
     // document chunking (the RAG / training-window step): overlapping
