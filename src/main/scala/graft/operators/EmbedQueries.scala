@@ -35,13 +35,30 @@ object EmbedQueries {
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** 32 deterministic hyperplanes with integer weights in [-1000, 1000]:
-    * the first 8 are the per-vector bucket id (e_lsh_bucket / e_ann_topk),
-    * all 32 feed the 4-band x 8-bit candidate generation of e_cosine_dup.
+    * the low [[annBits]](n) of the 32-bit signature are the per-vector
+    * bucket id (e_ann_topk / annTopkScaled; 8 bits at small n, growing with
+    * the corpus), all 32 feed the 4-band x 8-bit candidate generation of
+    * e_cosine_dup.
     */
   lazy val hyperplanes32: Array[Array[Long]] = Array.tabulate(32, Dim) { (p, d) =>
     PortableHash.h60(s"hp:$p:$d") % 2001 - 1000
   }
   lazy val hyperplanes: Array[Array[Long]] = hyperplanes32.take(8)
+
+  /** ANN LSH bucket width for n vectors: clamp(ceil(log2(n/64)), 8, 32) —
+    * target mean bucket occupancy ~64 so the within-bucket candidate join
+    * stays bounded as n grows (2^nb buckets tracks n; at 10^12 vectors
+    * nb = 32 and a bucket holds ~n/2^32 ~ 233 candidates, not n/256).
+    * Computed with pure integer threshold comparisons (nb >= b iff
+    * n > 64*2^(b-1)) — no float log, so the DuckDB oracle derives the
+    * IDENTICAL width ([[annBitsSql]]), exactly as `ivfNlist` is mirrored. */
+  def annBits(n: Long): Int =
+    8 + (9 to 32).count(b => n > 64L * (1L << (b - 1)))
+
+  /** DuckDB expression computing [[annBits]] over a COUNT expression. */
+  private def annBitsSql(cnt: String): String =
+    "8" + (9 to 32).map(b =>
+      s" + (CASE WHEN ($cnt) > ${64L * (1L << (b - 1))} THEN 1 ELSE 0 END)").mkString
 
   /** IVF list count for n vectors: ~sqrt(n), the standard probe/list cost
     * balance (probe work ~ nprobe * n/nlist is minimized at nlist ~ sqrt(n)).
@@ -178,17 +195,20 @@ object EmbedQueries {
     * measures the candidate-join shape at hundreds of thousands of
     * vectors instead of 2k. */
   def annTopkScaled(s: SparkSession, dir: String, mult: Int): DataFrame = {
-    val b = emb(s, dir)
-      .select(col("vec_id"), expr(quantExpr).as("v"))
+    val base = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+    // scale-derived bucket width over the REPLICATED corpus size (the count
+    // is of the small base table; the exploded frame is never counted)
+    val nb = annBits(base.count() * mult)
+    val b = base
       .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
       .select(
         (col("vec_id") * mult + col("rep")).as("vec_id"),
         expr("transform(v, (x, i) -> CASE WHEN i = CAST(rep % 64 AS INT) THEN x + rep % 7 - 3 ELSE x END)").as("v"))
-      .withColumn("bucket", bitsCol(0, 8).cast("long"))
+      .withColumn("bucket", bitsCol(0, nb).cast("long"))
     val q = b.filter(col("vec_id") % (25L * mult) === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val probes = q
-      .withColumn("f", explode(array((Seq(0L) ++ (0 until 8).map(1L << _)).map(lit): _*)))
+      .withColumn("f", explode(array((Seq(0L) ++ (0 until nb).map(1L << _)).map(lit): _*)))
       .withColumn("pb", expr("bucket ^ f"))
       .select(col("qid"), col("qv"), col("pb"))
     val p = b.select(col("vec_id").as("pid"), col("v").as("pv"), col("bucket").as("pbucket"))
@@ -287,33 +307,42 @@ object EmbedQueries {
     },
 
     // ANN top-k MIPS via LSH-bucket equi-join with 1-bit multiprobe: each
-    // query probes its own 8-bit hyperplane bucket plus the 8 one-bit
+    // query probes its own nb-bit hyperplane bucket plus the nb one-bit
     // flips, candidates meet in a shuffle equi-join on the bucket id, the
-    // exact integer dot ranks within candidates. No cartesian anywhere —
-    // this is the 100 TB shape (the oracle reproduces the candidate set, so
-    // the gate is exact; recall vs the brute baseline is asserted in
-    // EmbedSpec).
+    // exact integer dot ranks within candidates. The bucket width is
+    // SCALE-DERIVED (annBits: 2^nb buckets track n at ~64 mean occupancy,
+    // clamped to the 32 available hyperplanes) and the oracle derives the
+    // identical width from COUNT(*) — no fixed-capacity structure left in
+    // the similarity path. No cartesian anywhere — this is the 100 TB shape
+    // (the oracle reproduces the candidate set, so the gate is exact;
+    // recall vs the brute baseline is asserted in EmbedSpec).
     QueryDef.sql("e_ann_topk", {
       val dot = (1 to Dim).map(d => s"pr.qv[$d] * p.v[$d]").mkString(" + ")
       s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, CAST(${bitsSql(0, 8)} AS BIGINT) AS bucket FROM v),
+         |nn AS (SELECT ${annBitsSql("COUNT(*)")} AS nb FROM v),
+         |b AS (SELECT vec_id, v,
+         |        ((CAST(${bitsSql(0, 32)} AS BIGINT)) & ((CAST(1 AS BIGINT) << nb) - 1)) AS bucket
+         |      FROM v CROSS JOIN nn),
          |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % 25 = 0),
-         |pr AS (SELECT qid, qv, xor(bucket, CAST(f.f AS BIGINT)) AS pb
-         |       FROM q CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) f(f)),
+         |pr AS (SELECT qid, qv, xor(bucket, CASE WHEN t.r = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (CAST(1 AS BIGINT) << CAST(t.r - 1 AS INT)) END) AS pb
+         |       FROM q CROSS JOIN nn CROSS JOIN (SELECT UNNEST(range(33)) AS r) t
+         |       WHERE t.r <= nb),
          |r AS (SELECT pr.qid, p.vec_id AS pid, ($dot) AS dot,
          |        row_number() OVER (PARTITION BY pr.qid ORDER BY ($dot) DESC, p.vec_id) AS rk
          |      FROM pr JOIN b p ON p.bucket = pr.pb AND p.vec_id <> pr.qid)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin
     }) { (s, dir) =>
-      val b = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
-        .withColumn("bucket", bitsCol(0, 8).cast("long"))
+      val vv = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+      val nb = annBits(vv.count())
+      val b = vv.withColumn("bucket", bitsCol(0, nb).cast("long"))
       val q = b.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
       // 1-bit multiprobe: the probe buckets are distinct per query, so each
       // candidate matches exactly one probe (no dedup needed)
       val probes = q
-        .withColumn("f", explode(array((Seq(0L) ++ (0 until 8).map(1L << _)).map(lit): _*)))
+        .withColumn("f", explode(array((Seq(0L) ++ (0 until nb).map(1L << _)).map(lit): _*)))
         .withColumn("pb", expr("bucket ^ f"))
         .select(col("qid"), col("qv"), col("pb"))
       val p = b.select(col("vec_id").as("pid"), col("v").as("pv"), col("bucket").as("pbucket"))
@@ -356,8 +385,9 @@ object EmbedQueries {
          |ORDER BY qid, rk""".stripMargin
     }) { (s, dir) => ivfTopk(s, dir, nlistOverride = None) },
 
-    // random-hyperplane LSH bucketing (verifies the bucket assignment the
-    // ANN join keys on)
+    // random-hyperplane LSH bucketing (verifies the low-8-bit base of the
+    // scale-derived bucket id the ANN join keys on — annBits(n) >= 8 always,
+    // so these 8 planes are in every bucket id at any scale)
     QueryDef.sql("e_lsh_bucket",
       s"""SELECT vec_id, CAST(${bitsSql(0, 8)} AS BIGINT) AS bucket, CAST(label AS BIGINT) AS label
          |FROM (SELECT vec_id, label, $duckQuant AS v FROM embeddings) t
@@ -435,14 +465,19 @@ object EmbedQueries {
       val mult = 10
       val dot = (1 to Dim).map(d => s"pr.qv[$d] * p.v[$d]").mkString(" + ")
       s"""WITH base AS (SELECT vec_id, $duckQuant AS v0 FROM embeddings),
+         |nn AS (SELECT ${annBitsSql(s"COUNT(*) * $mult")} AS nb FROM base),
          |rep AS (SELECT base.vec_id * $mult + t.r AS vec_id,
          |          list_transform(range(1, ${Dim + 1}), d ->
          |            v0[d] + CASE WHEN d - 1 = t.r % $Dim THEN t.r % 7 - 3 ELSE 0 END) AS v
          |        FROM base CROSS JOIN (SELECT UNNEST(range($mult)) AS r) t),
-         |b AS (SELECT vec_id, v, CAST(${bitsSql(0, 8)} AS BIGINT) AS bucket FROM rep),
+         |b AS (SELECT vec_id, v,
+         |        ((CAST(${bitsSql(0, 32)} AS BIGINT)) & ((CAST(1 AS BIGINT) << nb) - 1)) AS bucket
+         |      FROM rep CROSS JOIN nn),
          |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % ${25 * mult} = 0),
-         |pr AS (SELECT qid, qv, xor(bucket, CAST(f.f AS BIGINT)) AS pb
-         |       FROM q CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) f(f)),
+         |pr AS (SELECT qid, qv, xor(bucket, CASE WHEN t.r = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (CAST(1 AS BIGINT) << CAST(t.r - 1 AS INT)) END) AS pb
+         |       FROM q CROSS JOIN nn CROSS JOIN (SELECT UNNEST(range(33)) AS r) t
+         |       WHERE t.r <= nb),
          |r AS (SELECT pr.qid, p.vec_id AS pid, ($dot) AS dot,
          |        row_number() OVER (PARTITION BY pr.qid ORDER BY ($dot) DESC, p.vec_id) AS rk
          |      FROM pr JOIN b p ON p.bucket = pr.pb AND p.vec_id <> pr.qid)

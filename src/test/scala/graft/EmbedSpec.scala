@@ -211,6 +211,42 @@ class EmbedSpec extends AnyFunSuite {
     assert(agree >= 350, s"agreement collapsed: $agree/500")
   }
 
+  test("ANN bucket width scales with n — per-bucket candidates stay bounded") {
+    import org.apache.spark.sql.functions._
+    // the derivation itself: clamp(ceil(log2(n/64)), 8, 32) via integer
+    // thresholds (annBits(n) >= b iff n > 64*2^(b-1))
+    assert(EmbedQueries.annBits(0) == 8)
+    assert(EmbedQueries.annBits(2000) == 8)
+    assert(EmbedQueries.annBits(16384) == 8)
+    assert(EmbedQueries.annBits(16385) == 9)
+    assert(EmbedQueries.annBits(200000) == 12)
+    assert(EmbedQueries.annBits(1L << 40) == 32) // clamped to the 32 planes
+    // empirically: mean bucket occupancy of the scaled corpus must NOT grow
+    // linearly with mult (the round-4 fixed-8-bit defect) — with the derived
+    // width it stays around the ~64 design target at every mult
+    val dir = "/root/testdata/sf0.1" // 2000 base vectors
+    def meanOcc(mult: Int): Double = {
+      val nb = EmbedQueries.annBits(2000L * mult)
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+        .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+        .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+          expr("transform(v, (x, i) -> CASE WHEN i = CAST(rep % 64 AS INT) THEN x + rep % 7 - 3 ELSE x END)").as("v"))
+      val occ = base
+        .select(graft.plans.HyperplaneBits(col("v"), EmbedQueries.hyperplanes32, 0, nb).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(avg("n").as("m"), max("n").as("mx")).head()
+      info(f"mult=$mult%3d nb=$nb: mean bucket ${occ.getDouble(0)}%.1f, max ${occ.getLong(1)}")
+      occ.getDouble(0)
+    }
+    val m10 = meanOcc(10)   // n=20k,  nb=9
+    val m100 = meanOcc(100) // n=200k, nb=12
+    // 10x the data must NOT mean 10x the bucket (fixed width would give
+    // exactly 10x); allow growth only up to the clustering-driven factor
+    assert(m100 <= 4 * m10, f"occupancy grew ~linearly: $m10%.1f -> $m100%.1f")
+  }
+
   test("hot-bucket caps: nothing dropped on this corpus, diagnostics exposed") {
     val dir = "/root/testdata/sf0.01"
     val (cmax, cdrop) = EmbedQueries.cosineBucketStats(spark, dir)
