@@ -59,19 +59,28 @@ object TileLineage {
       .as[TileStat].collect().toSeq.sortBy(_.tile)
   }
 
-  /** Idempotent tiled write with INCREMENTAL commit: skips tiles already
-    * manifested, then writes the missing ones in tile-groups of
-    * `groupSize`, committing each group's manifest lines as soon as its
-    * data lands — so the commit granularity (and the redo window after a
-    * crash) is one group, not the whole batch. Per group the stats are
-    * recomputed from the files ON DISK (the audit path's source of truth),
-    * and the upstream frame is persisted once — the round-3 shape
-    * (stats(remaining) then a second full execution for the write, one
-    * manifest append at the very end) double-paid the upstream computation
-    * and redid the entire batch on any crash.
+  /** Idempotent tiled write with INCREMENTAL commit, in ONE upstream pass:
+    * skips tiles already manifested, writes every missing tile in a single
+    * job partitioned by (grp, tile) — grp = tile div groupSize, a pure
+    * function of the tile so a rewrite always replaces the same directory —
+    * then commits manifest lines group-by-group from the files ON DISK
+    * (each group's stats read lists only its own `grp=<g>` directory, so
+    * the read-back is physically pruned by construction, no partition-
+    * column filter to mis-type). The commit granularity (and the redo
+    * window after a crash between write-completion and a group's manifest
+    * append) stays one group; the round-4 shape (one filtered write + one
+    * filtered stats read PER group over a persisted frame) paid
+    * ~tiles/groupSize full passes over the cached upstream where this pays
+    * exactly one, plus per-group reads of only the new bytes.
     *
-    * `failAfterGroups` is a crash-injection hook for LineageSpec: the write
-    * aborts (as a crash would) after that many groups have committed.
+    * A crash DURING the single write commits nothing (Spark's job-level
+    * output commit) and the resume rewrites all unmanifested tiles into
+    * their deterministic (grp, tile) directories via dynamic partition
+    * overwrite — stale uncommitted data can never survive a resume.
+    *
+    * `failAfterGroups` is a crash-injection hook for LineageSpec: the
+    * commit loop aborts (as a crash would) after that many groups'
+    * manifest lines have landed.
     */
   def writeTiled(df: DataFrame, root: String, groupSize: Int = 256,
                  failAfterGroups: Int = Int.MaxValue): WriteSummary = {
@@ -97,28 +106,44 @@ object TileLineage {
           .select(col("tile").cast(df.schema("tile").dataType))
         df.join(broadcast(doneDf), Seq("tile"), "left_anti")
       }
-    remaining.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val tiles = remaining.select(col("tile").cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      val written = Seq.newBuilder[TileStat]
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      tiles.grouped(groupSize).zipWithIndex.foreach { case (group, g) =>
-        if (g >= failAfterGroups)
-          throw new IllegalStateException(s"injected crash after $g committed groups")
-        val inGroup = col("tile").cast("long").isin(group.toIndexedSeq: _*)
-        remaining.filter(inGroup).write.mode(SaveMode.Overwrite)
-          .partitionBy("tile")
-          .parquet(root + "/data")
-        // stats from the bytes that actually landed (partition-pruned read
-        // of just this group's tile directories) — commit what IS, not what
-        // was intended; also the second execution of `remaining` goes away
-        val onDisk = stats(spark.read.parquet(root + "/data").filter(inGroup))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    remaining
+      .withColumn("grp", expr(s"CAST(tile AS BIGINT) DIV $groupSize"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("grp", "tile")
+      .parquet(root + "/data")
+    // commit loop: list the grp directories that exist on disk (Hadoop FS —
+    // works on any object store, not just local files) and manifest each
+    // group from its own bytes — commit what IS, not what was intended
+    val dataPath = new org.apache.hadoop.fs.Path(root + "/data")
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val grps =
+      if (!fs.exists(dataPath)) Seq.empty[Long]
+      else fs.listStatus(dataPath).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("grp="))
+        .map(_.stripPrefix("grp=").toLong).sorted
+    val written = Seq.newBuilder[TileStat]
+    grps.zipWithIndex.foreach { case (g, i) =>
+      if (i >= failAfterGroups)
+        throw new IllegalStateException(s"injected crash after $i committed groups")
+      // a resumed run's grp dir also holds previously-committed tiles:
+      // select only the FRESH tile directories (filesystem metadata, no
+      // data bytes touched for committed tiles — a fully-resumed no-op
+      // re-reads nothing), read them with basePath so the partition
+      // columns survive, and manifest from those bytes
+      val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data/grp=$g"))
+        .toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("tile=") &&
+          !done(p.getName.stripPrefix("tile=").toLong))
+      if (fresh.nonEmpty) {
+        val onDisk = stats(
+          spark.read.option("basePath", root + "/data")
+            .parquet(fresh.map(_.toString): _*).drop("grp"))
         appendManifest(root, onDisk)
         written ++= onDisk
       }
-      WriteSummary(written.result(), done.toSeq.sorted)
-    } finally remaining.unpersist()
+    }
+    WriteSummary(written.result(), done.toSeq.sorted)
   }
 
   /** Recompute digests from what's on disk and diff against the manifest —
@@ -126,7 +151,7 @@ object TileLineage {
     */
   def audit(spark: org.apache.spark.sql.SparkSession, root: String): Seq[(Long, Boolean)] = {
     val manifest = readManifest(root)
-    val onDisk = stats(spark.read.parquet(root + "/data"))
+    val onDisk = stats(spark.read.parquet(root + "/data").drop("grp"))
     val byTile = onDisk.map(s => s.tile -> s).toMap
     manifest.map(m => m.tile -> byTile.get(m.tile).contains(m.copy()))
   }

@@ -59,21 +59,27 @@ class LineageSpec extends AnyFunSuite {
       .collect().sorted
     assert(allTiles.length > 8, s"need several groups, got ${allTiles.length} tiles")
 
-    // crash injected after 2 groups of 3 tiles have committed
+    // crash injected after 2 groups have committed; groups are now VALUE
+    // groups (grp = tile div groupSize — a pure function of the tile so a
+    // rewrite always replaces the same directory), so the expected commit
+    // set is the tiles of the 2 smallest grp values, not the 6 smallest
+    // tiles
+    val expectCommitted = allTiles.groupBy(_ / 3).toSeq.sortBy(_._1)
+      .take(2).flatMap(_._2).sorted
     val boom = intercept[IllegalStateException] {
       TileLineage.writeTiled(df, root, groupSize = 3, failAfterGroups = 2)
     }
     assert(boom.getMessage.contains("injected crash"))
 
-    // exactly the first two groups (6 smallest tiles) are manifested —
-    // the commit point moved from batch-end to group-end
+    // exactly the first two value-groups are manifested — the commit point
+    // moved from batch-end to group-end
     val committed = TileLineage.readManifest(root).map(_.tile).sorted
-    assert(committed == allTiles.take(6).toSeq, s"committed: $committed")
+    assert(committed == expectCommitted.toSeq, s"committed: $committed")
 
     // resume: the committed groups are SKIPPED, everything else written
     val resume = TileLineage.writeTiled(df, root, groupSize = 3)
-    assert(resume.skipped.toSet == allTiles.take(6).toSet)
-    assert(resume.written.map(_.tile).toSet == allTiles.drop(6).toSet)
+    assert(resume.skipped.toSet == expectCommitted.toSet)
+    assert(resume.written.map(_.tile).toSet == (allTiles.toSet -- expectCommitted))
 
     // end state is complete and audit-clean
     val back = spark.read.parquet(root + "/data")
@@ -81,5 +87,27 @@ class LineageSpec extends AnyFunSuite {
     val audit = TileLineage.audit(spark, root)
     assert(audit.size == allTiles.length && audit.forall(_._2),
       s"audit failed: ${audit.filterNot(_._2)}")
+  }
+
+  test("single-pass write: the upstream frame is scanned exactly once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lineage_1pass").toString
+    // partition-scan counter riding the upstream: add(1) per partition per
+    // execution — writeTiled must trigger exactly ONE full execution (the
+    // round-4 incremental commit re-filtered the persisted frame once per
+    // tile-group; the single (grp, tile)-partitioned write pays one pass
+    // and the per-group stats reads touch only the freshly-written files)
+    val acc = spark.sparkContext.longAccumulator("upstream_scans")
+    val counted = tiled.as[(String, Int, Int, Long)]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("image_id", "lon", "lat", "tile")
+    TileLineage.writeTiled(counted, root, groupSize = 3)
+    val duringWrite = acc.value
+    acc.reset()
+    counted.write.mode("overwrite").parquet(root + "/onescan")
+    val oneScan = acc.value
+    assert(oneScan > 0)
+    assert(duringWrite == oneScan,
+      s"writeTiled executed the upstream ${duringWrite.toDouble / oneScan}x (partitions counted: $duringWrite vs $oneScan for one scan)")
   }
 }
