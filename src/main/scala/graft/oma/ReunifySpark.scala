@@ -20,8 +20,13 @@ import graft.core.Bbox
   * the input on the driver: relation splitting, backlink grouping and the
   * per-relation metadata attachment are joins/groupBys, not driver maps.
   * Element order is the element ID within each kind — identical to input
-  * order for spec-compliant (id-sorted) OSM files, which both the o5m and
-  * pbf specs require and every golden fixture satisfies.
+  * order for id-sorted files. The formats merely RECOMMEND id order (every
+  * planet mirror and golden fixture satisfies it); for an unsorted extract
+  * this pipeline still emits id order, a deliberate, documented deviation
+  * from the reference's input-order emission (the .oma chunk table indexes
+  * by type/bbox, not position, so readers are unaffected). Negative or
+  * oversized ids (>= 2^48) are rejected loudly rather than silently
+  * scrambling the packed rank|id|sub order key.
   */
 object ReunifySpark {
 
@@ -292,7 +297,10 @@ object ReunifySpark {
     // packing which capped a file at 268M elements.
     def withOrder(ds: Dataset[El], rank: Int): Dataset[El] =
       ds.map { e =>
-        require(e.seq < (1L << 48) && e.sub < (1 << 12),
+        // reject NEGATIVE ids too (common in synthetic/renumbered extracts):
+        // a negative id would sign-extend across the rank bits and silently
+        // scramble emission order instead of failing loudly
+        require(e.seq >= 0 && e.seq < (1L << 48) && e.sub >= 0 && e.sub < (1 << 12),
           s"order-key overflow: id=${e.seq} sub=${e.sub}")
         e.copy(seq = (rank.toLong << 60) | (e.seq << 12) | e.sub)
       }

@@ -128,11 +128,28 @@ object DocQueries {
     * d_dup_groups and d_dup_reps. See the loop comments for the one-job
     * rounds, the scale-adaptive broadcast and the fused init.
     */
+  /** Drop a localCheckpoint's backing RDD storage eagerly (Dataset.unpersist
+    * only reaches CacheManager entries, not checkpoint RDDs; without this
+    * the HashMin loop accumulates one persisted frame per round until GC). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private def dupLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // both edge directions from ONE pass: the former
+    // `pairs.select(a,b) union pairs.select(b,a)` re-executed the entire
+    // minhash pair pipeline (bands, candidate join, Jaccard confirm —
+    // the ~2.7 s dominant cost of this operator) once per union branch;
+    // the explode emits src->dst and dst->src per input row in a single
+    // execution, and the checkpoint pins the result for the loop
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // init = HashMin round 1 fused in: label0 = min(id, min neighbour) —
     // same shuffle cost as a bare distinct over the endpoints, one fewer
@@ -176,7 +193,13 @@ object DocQueries {
         .toDF("id", "lab")
         .localCheckpoint()
       changed = acc.value
+      // the new round's labels are materialized (eager checkpoint), so the
+      // previous round's storage can go now — not at GC time
+      freeLocalCheckpoint(labels)
       labels = next
+      // accumulator note: a retried task can over-count decreases (one
+      // spurious extra round — benign); a zero-change round counts exactly
+      // zero regardless of retries, so termination stays deterministic
     }
     labels
   }

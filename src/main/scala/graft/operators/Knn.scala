@@ -95,9 +95,14 @@ object Knn {
     // the brute-force pass where the oracle's (d, pid) order decides.
     // Queries with zero pass-1 candidates have no rows here and fall to
     // the brute tail via the left_anti below.
+    // when(), not a bare && conjunction: element_at(items, k) is out of
+    // bounds for queries with < k candidates, and ANSI mode (Spark 4's
+    // default) throws INVALID_ARRAY_INDEX — the old shape survived only on
+    // And's short-circuit, which no optimizer rule guarantees to preserve
     val agged = agged0.withColumn("final",
-      col("tk").getField("n") >= k &&
+      when(col("tk").getField("n") >= k,
         element_at(col("tk").getField("items"), k).getField("d") < margin * margin)
+        .otherwise(lit(false)))
 
     Pass1(agged, qs, pts, dist)
   }

@@ -102,9 +102,12 @@ object KnnHex {
         .withColumn("d", dist)
         .groupBy("qid")
         .agg(graft.plans.DistTopK(col("d"), col("pid"), k).as("tk"))
+        // when()-guarded: element_at(items, k) is ANSI-OOB when n < k (see
+        // Knn.pass1 — don't rely on And short-circuit)
         .withColumn("final",
-          col("tk").getField("n") >= k &&
+          when(col("tk").getField("n") >= k,
             element_at(col("tk").getField("items"), k).getField("d") < lit(lbSq(maxD + 1)))
+            .otherwise(lit(false)))
       val resolved = explodeTopk(agged.filter(col("final")))
       val unresolved = qSet.join(
         broadcast(agged.filter(col("final")).select("qid")), Seq("qid"), "left_anti")
