@@ -130,6 +130,13 @@ object EmbedQueries {
           .withColumn("dist", l2)
           .withColumn("crk", row_number().over(wC))
       }
+    ivfTail(d)
+  }
+
+  /** Shared IVF tail over the (vec_id, v, j, dist, crk) assignment frame:
+    * lists from crk=1, 2-list probes for the query subset, candidates meet
+    * in the list-id equi-join, exact integer dot ranks top-3. */
+  private def ivfTail(d: DataFrame): DataFrame = {
     val asg = d.filter(col("crk") === 1)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("j"))
     val probes = d.filter(col("crk") <= 2 && col("vec_id") % 25 === 0)
@@ -142,6 +149,18 @@ object EmbedQueries {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
       .orderBy("qid", "rk")
+  }
+
+  /** IVF top-k with the two-level coarse quantizer FORCED at a given
+    * (nlist, ncoarse, probeCoarse) — the e_ivf_hier gate body (the adaptive
+    * path only engages hier above [[HierNlistThreshold]], far past gate
+    * scale, so the gate pins the hier plan at a small forced config whose
+    * two-level assignment the DuckDB oracle replays exactly). */
+  def ivfTopkHier(s: SparkSession, dir: String, nlist: Int, ncoarse: Int,
+                  probeCoarse: Int): DataFrame = {
+    val v = quantized(s, dir)
+    val cent = centroids(v, nlist)
+    ivfTail(ivfAssignHier(v, cent, ncoarse, probeCoarse))
   }
 
   /** Two-level (coarse-quantized) IVF assignment — the extreme-scale shape:
@@ -384,6 +403,45 @@ object EmbedQueries {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin
     }) { (s, dir) => ivfTopk(s, dir, nlistOverride = None) },
+
+    // the TWO-LEVEL coarse-quantized IVF assignment (ivfAssignHier — the
+    // shape the adaptive path switches to above HierNlistThreshold, i.e.
+    // beyond ~17M vectors) gated at a forced-small (nlist=64, ncoarse=8,
+    // probe=2) configuration: the oracle replays all three levels — fine
+    // centroid -> nearest coarse cell, row -> 2 nearest coarse cells, row
+    // scored against only the fine centroids under its probed cells — with
+    // the identical integer L2 and tie rules, then the same 2-list-probe
+    // top-k tail as e_ivf_topk.
+    QueryDef.sql("e_ivf_hier", {
+      val nlist = 64; val ncoarse = 8; val probeCoarse = 2
+      def dl2(x: String, y: String) =
+        s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ($x[i] - $y[i]) * ($x[i] - $y[i]))) AS BIGINT)"
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> qv.v[i] * pv.v[i])) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
+         |rankedc AS (SELECT v, row_number() OVER (ORDER BY $ivfHashDuck, vec_id) AS rk FROM v),
+         |cent AS (SELECT rk - 1 AS j, v AS c FROM rankedc WHERE rk <= $nlist),
+         |coarse AS (SELECT j AS cj, c AS cc FROM cent WHERE j < $ncoarse),
+         |fine AS (SELECT cj, j, c FROM (
+         |    SELECT co.cj, ce.j, ce.c,
+         |      row_number() OVER (PARTITION BY ce.j ORDER BY ${dl2("ce.c", "co.cc")}, co.cj) AS frk
+         |    FROM cent ce CROSS JOIN coarse co) t WHERE frk = 1),
+         |rc AS (SELECT vec_id, v, cj FROM (
+         |    SELECT v.vec_id, v.v, co.cj,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dl2("v.v", "co.cc")}, co.cj) AS rrk
+         |    FROM v CROSS JOIN coarse co) t WHERE rrk <= $probeCoarse),
+         |d AS (SELECT vec_id, v, j,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS crk
+         |      FROM (SELECT rc.vec_id, rc.v, f.j, ${dl2("rc.v", "f.c")} AS dist
+         |            FROM rc JOIN fine f ON f.cj = rc.cj) t),
+         |asg AS (SELECT vec_id, j FROM d WHERE crk = 1),
+         |probes AS (SELECT vec_id AS qid, j FROM d WHERE crk <= 2 AND vec_id % 25 = 0),
+         |r AS (SELECT p.qid, a.vec_id AS pid, $dot AS dot,
+         |        row_number() OVER (PARTITION BY p.qid ORDER BY $dot DESC, a.vec_id) AS rk
+         |      FROM probes p JOIN asg a ON a.j = p.j AND a.vec_id <> p.qid
+         |      JOIN v qv ON qv.vec_id = p.qid JOIN v pv ON pv.vec_id = a.vec_id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) => ivfTopkHier(s, dir, nlist = 64, ncoarse = 8, probeCoarse = 2) },
 
     // random-hyperplane LSH bucketing (verifies the low-8-bit base of the
     // scale-derived bucket id the ANN join keys on — annBits(n) >= 8 always,
