@@ -39,7 +39,16 @@ object O5m {
   // Decoder
   // -------------------------------------------------------------------------
 
-  def decode(bytes: Array[Byte]): OsmInput = {
+  def decode(bytes: Array[Byte]): OsmInput = decodeChain(Iterator.single(bytes))
+
+  /** Stateful chain decode: `chunks` are consecutive record-aligned byte
+    * ranges of ONE stream; delta counters and the string table carry across
+    * chunk boundaries exactly as if the bytes were decoded from a single
+    * array (a 0xff reset inside any chunk still clears them). The o5m
+    * auto-split path (OsmSource.o5mScan) feeds oversized reset segments —
+    * beyond the JVM 2 GiB array cap — through this one sub-range at a time.
+    */
+  def decodeChain(chunks: Iterator[Array[Byte]]): OsmInput = {
     var id = 0L; var timestamp = 0L; var changeset = 0L
     var lon = 0L; var lat = 0L
     val refid = Array.fill(3)(0L)
@@ -118,6 +127,7 @@ object O5m {
     val rels = Seq.newBuilder[OsmRelation]
     var bounds: Option[Bbox] = None
 
+    for (bytes <- chunks) {
     val in = new In(bytes)
     while (!in.atEnd) {
       val eid = in.byte()
@@ -152,6 +162,7 @@ object O5m {
           refid(0) = 0; refid(1) = 0; refid(2) = 0
         case _ => // header (0xe0), sync, end-of-file — ignored like the reference
       }
+    }
     }
     OsmInput(bounds, nodes.result(), ways.result(), rels.result(), discarded)
   }
@@ -197,9 +208,35 @@ object O5m {
     * reference reader's own frame loop shape (O5MReader.java:60-88: read
     * type, read length, consume body) without decoding bodies.
     */
-  def segmentsStream(in: java.io.InputStream, total: Long): Seq[(Long, Long)] = {
-    val cuts = Seq.newBuilder[Long]
+  def segmentsStream(in: java.io.InputStream, total: Long): Seq[(Long, Long)] =
+    segmentChainsStream(in, total, Long.MaxValue).map(c => (c.head._1, c.last._2))
+
+  /** Chain-aware streaming skim: like [[segmentsStream]], but a reset
+    * segment larger than `maxChunk` is additionally split at RECORD
+    * boundaries into sub-ranges of at most maxChunk bytes (one record can
+    * exceed it only if the record itself does). Outer Seq = independently
+    * decodable chains (reset-delimited); inner Seq = the sequential
+    * sub-ranges of one chain — decode state crosses them, so a chain is
+    * decoded by ONE task via [[decodeChain]]. This removes the former hard
+    * stop on low-reset-density files whose segments exceed the JVM 2 GiB
+    * array cap: such a segment now decodes as a sequential sub-task chain
+    * with bounded per-read memory.
+    */
+  def segmentChainsStream(in: java.io.InputStream, total: Long,
+                          maxChunk: Long): Seq[Seq[(Long, Long)]] = {
+    val chains = Seq.newBuilder[Seq[(Long, Long)]]
+    val chain = Seq.newBuilder[(Long, Long)]
+    var subStart = 0L
     var pos = 0L
+    def cutSub(at: Long): Unit =
+      if (at > subStart) { chain += ((subStart, at)); subStart = at }
+    def endChain(at: Long): Unit = {
+      cutSub(at)
+      val c = chain.result()
+      if (c.nonEmpty) chains += c
+      chain.clear()
+      subStart = at
+    }
     def byte(): Int = {
       val b = in.read()
       require(b >= 0, s"unexpected EOF at $pos of $total")
@@ -219,17 +256,22 @@ object O5m {
     while (pos < total) {
       val at = pos
       val eid = byte()
-      if (eid == 0xff) { if (at > 0) cuts += at }
+      if (eid == 0xff) { if (at > 0) endChain(at) }
       else if (eid < 0xf0) {
         val len = u()
         require(len >= 0 && pos + len <= total,
           s"malformed o5m record at $at: body length $len exceeds file ($pos + $len > $total)")
+        // cut BEFORE a record that would push the sub-range past maxChunk,
+        // so sub-ranges stay record-aligned and <= maxChunk
+        if (pos + len - subStart > maxChunk && at > subStart) {
+          chain += ((subStart, at)); subStart = at
+        }
         graft.sources.RangeStore.skipFully(in, len)
         pos += len
       }
     }
-    val bounds = (0L +: cuts.result()) :+ total
-    bounds.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq.filter(s => s._2 > s._1)
+    endChain(total)
+    chains.result()
   }
 
   /** Merge per-segment decodes (segment order) back into one input. */

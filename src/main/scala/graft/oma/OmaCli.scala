@@ -155,9 +155,13 @@ object OmaCli {
     if (a.verbose == 0) spark.sparkContext.setLogLevel("WARN")
 
     // format dispatch (reference OSMReader.getReader): XML, O5M or PBF by
-    // magic bytes — sniffed from the first 16 bytes, never the whole file
+    // magic bytes — sniffed from the first 16 bytes, never the whole file.
+    // A DIRECTORY input (sharded planet mirror extract) sniffs its first
+    // file; the binary scans expand the directory themselves (store.list)
+    val sniffPath = graft.sources.RangeStore.local.list(a.input.toString)
+      .headOption.getOrElse(sys.error(s"empty input directory: ${a.input}"))
     val head = {
-      val raf = new java.io.RandomAccessFile(a.input.toString, "r")
+      val raf = new java.io.RandomAccessFile(sniffPath, "r")
       try {
         val n = math.min(16L, raf.length()).toInt
         val b = new Array[Byte](n); raf.readFully(b); b

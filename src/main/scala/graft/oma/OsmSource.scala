@@ -60,26 +60,40 @@ object OsmSource {
     * the single-task sequential decode, which is also the reference's
     * behavior.
     */
+  /** Sub-range ceiling for oversized o5m reset segments: well under the JVM
+    * 2 GiB array cap, large enough that chains stay short. */
+  val O5mMaxChunk: Long = 512L << 20
+
   def o5mScan(spark: SparkSession, path: String, parts: Int = 0,
-              store: RangeStore = RangeStore.local): Dataset[OsmRow] = {
+              store: RangeStore = RangeStore.local,
+              maxChunk: Long = O5mMaxChunk): Dataset[OsmRow] = {
     import spark.implicits._
-    // STREAMING skim: O(1) driver memory, Long offsets — never the 2 GiB
-    // byte[] ceiling (planet.o5m is ~60 GB; the skim is why the scan scales)
-    val segs = {
-      val in = store.open(path)
-      try O5m.segmentsStream(in, store.length(path)) finally in.close()
+    // STREAMING skim per file: O(1) driver memory, Long offsets — never the
+    // 2 GiB byte[] ceiling (planet.o5m is ~60 GB; the skim is why the scan
+    // scales). `path` may be a directory of sharded extracts (store.list);
+    // each chain row carries its own file path. A reset segment larger than
+    // maxChunk arrives as a CHAIN of record-aligned sub-ranges decoded
+    // sequentially by one task (decodeChain — delta/string-table state
+    // crosses sub-ranges), so low-reset-density files degrade to fewer,
+    // bigger sequential tasks instead of failing.
+    val chains = store.list(path).flatMap { f =>
+      val in = store.open(f)
+      val cs = try O5m.segmentChainsStream(in, store.length(f), maxChunk) finally in.close()
+      cs.map(c => (f, c.map(_._1), c.map(_._2)))
     }
-    segs.foreach { case (from, until) =>
-      require(until - from <= Int.MaxValue,
-        s"o5m reset segment [$from, $until) exceeds 2 GiB — the file's reset " +
-          "density is too low for single-task decode; re-chunk it (osmconvert " +
-          "emits resets every few MB)")
+    chains.foreach { case (f, froms, untils) =>
+      froms.lazyZip(untils).foreach { (a, b) =>
+        require(b - a <= Int.MaxValue,
+          s"o5m record at $f:[$a,$b) exceeds 2 GiB — a single record cannot be split")
+      }
     }
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    spark.createDataset(segs.map(s => (path, s._1, s._2)))
-      .repartition(math.min(n, math.max(1, segs.size)))
-      .flatMap { case (p, from, until) =>
-        toRows(O5m.decode(store.readRange(p, from, (until - from).toInt)))
+    spark.createDataset(chains)
+      .repartition(math.min(n, math.max(1, chains.size)))
+      .flatMap { case (p, froms, untils) =>
+        toRows(O5m.decodeChain(froms.iterator.zip(untils.iterator).map {
+          case (a, b) => store.readRange(p, a, (b - a).toInt)
+        }))
       }
   }
 
@@ -92,12 +106,16 @@ object OsmSource {
   def pbfScan(spark: SparkSession, path: String, parts: Int = 0,
               store: RangeStore = RangeStore.local): Dataset[OsmRow] = {
     import spark.implicits._
-    val fs = {
-      val in = store.open(path)
-      try Pbf.framesStream(in, store.length(path)) finally in.close()
-    }.filter(_.btype == "OSMData")
+    // `path` may be a directory of sharded extracts (store.list) — blobs
+    // are independently decodable, so multi-file is just more frames, each
+    // carrying its own file path
+    val fs = store.list(path).flatMap { f =>
+      val in = store.open(f)
+      val frames = try Pbf.framesStream(in, store.length(f)) finally in.close()
+      frames.filter(_.btype == "OSMData").map(fr => (f, fr.offset, fr.len))
+    }
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    spark.createDataset(fs.map(f => (path, f.offset, f.len)))
+    spark.createDataset(fs)
       .repartition(math.min(n, math.max(1, fs.size)))
       .flatMap { case (p, off, len) =>
         val blob = store.readRange(p, off, len)

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.io.{BufferedInputStream, InputStream, RandomAccessFile}
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Shared-storage contract for the byte-range scans (OsmSource, OmaScan).
   *
@@ -35,6 +36,13 @@ trait RangeStore extends Serializable {
     * file itself (offset, length) is unbounded Long.
     */
   def readRange(path: String, offset: Long, len: Int): Array[Byte]
+
+  /** Expand `path` to the concrete objects to scan, in deterministic
+    * (name-sorted) order: a plain object expands to itself; a directory to
+    * its files — real planet mirrors ship SHARDED extracts, so every binary
+    * scan accepts either. Default suits stores without a directory notion.
+    */
+  def list(path: String): Seq[String] = Seq(path)
 }
 
 object RangeStore {
@@ -54,6 +62,17 @@ object RangeStore {
         raf.readFully(out)
         out
       } finally raf.close()
+    }
+
+    override def list(path: String): Seq[String] = {
+      val p = Paths.get(path)
+      if (!Files.isDirectory(p)) Seq(path)
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(_.toString).toSeq.sorted
+        finally s.close()
+      }
     }
   }
 

@@ -116,6 +116,71 @@ class OsmSourceStreamSpec extends AnyFunSuite {
       .map(f => (f.offset, f.offset + f.len)).toSet
     assert(RecordingStore.ranges.asScala.toSet == dataFrames)
   }
+  test("multi-file binary scans: a directory of shards equals the per-file decode") {
+    val fx = Fixtures.fixture
+    val fx1 = fx.copy(ways = Seq.empty, rels = Seq.empty)
+    val fx2 = fx.copy(nodes = Seq.empty)
+    def rows(bytes: Array[Byte]): Seq[String] =
+      OsmSource.toRows(O5m.decode(bytes)).map(_.toString)
+
+    // o5m: directory scan == union of the shard decodes == concatenated file
+    val o1 = O5m.write(fx1, resetEvery = 3); val o2 = O5m.write(fx2, resetEvery = 3)
+    val dO5m = Files.createTempDirectory("multi_o5m")
+    Files.write(dO5m.resolve("a.o5m"), o1); Files.write(dO5m.resolve("b.o5m"), o2)
+    val wantO5m = (rows(o1) ++ rows(o2)).sorted
+    val gotDir = OsmSource.o5mScan(spark, dO5m.toString).collect().toSeq.map(_.toString).sorted
+    assert(gotDir == wantO5m, "o5m directory scan")
+    val catO5m = dO5m.resolve("cat.bin"); Files.write(catO5m, o1 ++ o2)
+    val gotCat = OsmSource.o5mScan(spark, catO5m.toString).collect().toSeq.map(_.toString).sorted
+    assert(gotCat == wantO5m, "o5m concatenated-file scan")
+
+    // pbf: same three-way equality (blobs are independently decodable, a
+    // mid-stream OSMHeader frame from the second shard is skipped like any
+    // non-OSMData frame)
+    val p1 = Pbf.write(fx1, perBlock = 4); val p2 = Pbf.write(fx2, perBlock = 4)
+    def prows(bytes: Array[Byte]): Seq[String] =
+      OsmSource.toRows(Pbf.decode(bytes)).map(_.toString)
+    val dPbf = Files.createTempDirectory("multi_pbf")
+    Files.write(dPbf.resolve("a.pbf"), p1); Files.write(dPbf.resolve("b.pbf"), p2)
+    val wantPbf = (prows(p1) ++ prows(p2)).sorted
+    val gotPbfDir = OsmSource.pbfScan(spark, dPbf.toString, parts = 4)
+      .collect().toSeq.map(_.toString).sorted
+    assert(gotPbfDir == wantPbf, "pbf directory scan")
+    val catPbf = dPbf.resolve("cat.bin"); Files.write(catPbf, p1 ++ p2)
+    val gotPbfCat = OsmSource.pbfScan(spark, catPbf.toString, parts = 4)
+      .collect().toSeq.map(_.toString).sorted
+    assert(gotPbfCat == wantPbf, "pbf concatenated-file scan")
+  }
+
+  test("oversized o5m segment auto-splits into a sequential record-aligned chain") {
+    // no mid-file resets -> ONE reset segment; round 4 hard-stopped such a
+    // file at 2 GiB, now it decodes as a chain of record-aligned sub-ranges
+    // with state carried across them
+    val whole = O5m.write(Fixtures.fixture, resetEvery = 0)
+    val tiny = 64L
+    val chains = O5m.segmentChainsStream(
+      new ByteArrayInputStream(whole), whole.length.toLong, tiny)
+    assert(chains.size == 1, s"expected one chain, got ${chains.size}")
+    val chain = chains.head
+    assert(chain.size > 1, "tiny maxChunk must split the segment")
+    assert(chain.head._1 == 0L && chain.last._2 == whole.length.toLong)
+    assert(chain.sliding(2).forall { case Seq(a, b) => a._2 == b._1; case _ => true },
+      "sub-ranges must be contiguous")
+    assert(chain.forall { case (a, b) => b - a <= tiny + 64 },
+      s"sub-ranges should respect maxChunk up to one record: $chain")
+    // chained decode == whole-array decode, bit for bit
+    val viaChain = O5m.decodeChain(chain.iterator.map { case (a, b) =>
+      java.util.Arrays.copyOfRange(whole, a.toInt, b.toInt) })
+    assert(viaChain == O5m.decode(whole))
+    // and through the scan surface with the forced tiny chunk
+    val dir = Files.createTempDirectory("o5m_dense")
+    val f = dir.resolve("dense.o5m"); Files.write(f, whole)
+    val got = OsmSource.o5mScan(spark, f.toString, maxChunk = tiny)
+      .collect().toSeq.map(_.toString).sorted
+    val want = OsmSource.toRows(O5m.decode(whole)).map(_.toString).sorted
+    assert(got == want)
+  }
+
   test("streamed sink writes all part IO through the PartStore seam") {
     import OsmSourceStreamSpec.RecordingPartStore
     val out = Files.createTempFile("seamconv", ".oma").toString
