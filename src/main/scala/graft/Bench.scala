@@ -126,44 +126,14 @@ object Bench {
 
     val qs = headline(spark, sfDir, img, nRows)
     val names = qs.map(_._1)
-    val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
-    val errors = scala.collection.mutable.Map[String, String]()
 
-    // warm-up pass (JIT + codegen + first-shuffle init), untimed
-    qs.foreach { case (name, df) =>
-      Try(df.write.format("noop").mode("overwrite").save()) match {
-        case Failure(e) => errors(name) = e.toString.take(200)
-        case Success(_) =>
-      }
-    }
-    // timed: reps interleaved round-robin so a contention burst cannot hit
-    // every repetition of the same query
-    for (_ <- 1 to reps; (name, df) <- qs) {
-      Try(runOnce(df)) match {
-        case Success(sec) => times(name) = sec :: times(name)
-        case Failure(e)   => errors(name) = e.toString.take(200)
-      }
-    }
-
-    val mins = names.map(n => n -> (if (times(n).nonEmpty) times(n).min else -1.0))
-    val (steal1, busy1) = cpuTicks()
-    val stealPct =
-      if (busy1 > busy0) 100.0 * (steal1 - steal0) / (busy1 - busy0) else -1.0
-    val wallSec = (System.nanoTime() - wall0) / 1e9
-
-    // diagnostic (untimed): pass-1 certification rate of the headline kNN —
-    // the brute tail must stay a small fraction of queries
-    val knnCert = Try {
-      val pts = img.select(xxhash64(col("image_id")).as("id"), col("lon"), col("lat"))
-      val q = pts.filter(pmod(col("id"), lit(200)) === 0)
-      operators.Knn.certStats(pts, q, 3, operators.Knn.adaptiveCellSize(nRows, 3))
-    }.getOrElse((-1L, -1L))
-
-    // EXTRA (not in `total`, so the headline stays comparable across
-    // rounds): the round-3-continuation operators at scale — the join-free
-    // as-of join and the bucketed range join on a 10x-user events table
-    // (1M events), and near-dup connected components over the sf0.1 pair
-    // graph (32.8k pairs / 490 components). Warm-up + min of 2.
+    // EXTRA entries (not in `total`, so the headline stays comparable
+    // across rounds): the join-free as-of join and the bucketed range join
+    // on a 10x-user events table (1M events), and near-dup connected
+    // components over the sf0.1 pair graph. Construction + execution are
+    // timed together: iterative operators (the CC label propagation) run
+    // their convergence loop while the frame is being built, so timing only
+    // the final write would miss the real work.
     val extra: Seq[(String, () => DataFrame)] = {
       def events10x = {
         val ev = spark.read.parquet(s"$sfDir/events.parquet")
@@ -179,24 +149,60 @@ object Bench {
         "dup_groups" -> (() => operators.DocQueries.defs.find(_.name == "d_dup_groups").get
           .fn(spark, sfDir)))
     }
-    // time CONSTRUCTION + execution together: iterative operators (the CC
-    // label propagation) run their convergence loop while the frame is
-    // being built, so timing only the final write would miss the real work
-    val extraTimes = extra.map { case (name, mk) =>
-      name -> Try {
-        def full(): Double = {
-          val t0 = System.nanoTime()
-          mk().write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+    val extraNames = extra.map(_._1)
+
+    // one flat task list — headline entries run a pre-built frame, extras
+    // rebuild + run; all of them share the SAME interleaved repetition loop
+    // so a single steal burst can poison at most one rep of any entry (the
+    // round-4 extras used warm+min-of-2 in their own block, and one burst
+    // there produced a 2.92 s range_join artifact vs the true 0.60 s)
+    val tasks: Seq[(String, () => Double)] =
+      qs.map { case (n, df) => n -> (() => runOnce(df)) } ++
+        extra.map { case (n, mk) =>
+          n -> { () =>
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
         }
-        full() // warm
-        (1 to 2).map(_ => full()).min
-      }.getOrElse(-1.0)
+
+    val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, String]()
+
+    // warm-up pass (JIT + codegen + first-shuffle init), untimed
+    tasks.foreach { case (name, run) =>
+      Try(run()) match {
+        case Failure(e) => errors(name) = e.toString.take(200)
+        case Success(_) =>
+      }
     }
+    // timed: reps interleaved round-robin so a contention burst cannot hit
+    // every repetition of the same query
+    for (_ <- 1 to reps; (name, run) <- tasks) {
+      Try(run()) match {
+        case Success(sec) => times(name) = sec :: times(name)
+        case Failure(e)   => errors(name) = e.toString.take(200)
+      }
+    }
+
+    val mins = names.map(n => n -> (if (times(n).nonEmpty) times(n).min else -1.0))
+    val extraTimes = extraNames.map(n => n -> (if (times(n).nonEmpty) times(n).min else -1.0))
+    val (steal1, busy1) = cpuTicks()
+    val stealPct =
+      if (busy1 > busy0) 100.0 * (steal1 - steal0) / (busy1 - busy0) else -1.0
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+
+    // diagnostic (untimed): pass-1 certification rate of the headline kNN —
+    // the brute tail must stay a small fraction of queries
+    val knnCert = Try {
+      val pts = img.select(xxhash64(col("image_id")).as("id"), col("lon"), col("lat"))
+      val q = pts.filter(pmod(col("id"), lit(200)) === 0)
+      operators.Knn.certStats(pts, q, 3, operators.Knn.adaptiveCellSize(nRows, 3))
+    }.getOrElse((-1L, -1L))
 
     val tileSec = mins.head._2
     val qJson = mins.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val repJson = names.map { n =>
+    val repJson = (names ++ extraNames).map { n =>
       s""""$n":[${times(n).reverse.map(t => f"$t%.3f").mkString(",")}]"""
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
