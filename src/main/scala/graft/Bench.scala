@@ -177,12 +177,23 @@ object Bench {
       }
     }
     // timed: reps interleaved round-robin so a contention burst cannot hit
-    // every repetition of the same query
-    for (_ <- 1 to reps; (name, run) <- tasks) {
-      Try(run()) match {
-        case Success(sec) => times(name) = sec :: times(name)
-        case Failure(e)   => errors(name) = e.toString.take(200)
+    // every repetition of the same query. Per-ROUND steal is sampled so a
+    // contended round is attributable from the artifact alone, and a GC
+    // nudge between rounds (untimed) lets ContextCleaner reclaim the dead
+    // broadcasts/shuffle state earlier rounds left behind — in one shared
+    // local-mode JVM that heap aging otherwise inflates later rounds.
+    val roundSteal = Seq.newBuilder[Double]
+    for (_ <- 1 to reps) {
+      val (rs0, rb0) = cpuTicks()
+      for ((name, run) <- tasks) {
+        Try(run()) match {
+          case Success(sec) => times(name) = sec :: times(name)
+          case Failure(e)   => errors(name) = e.toString.take(200)
+        }
       }
+      val (rs1, rb1) = cpuTicks()
+      roundSteal += (if (rb1 > rb0) 100.0 * (rs1 - rs0) / (rb1 - rb0) else -1.0)
+      System.gc()
     }
 
     val mins = names.map(n => n -> (if (times(n).nonEmpty) times(n).min else -1.0))
@@ -210,7 +221,7 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum
     val tput = if (tileSec > 0) (nRows / tileSec).toLong else -1L
     val extraJson = extraTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","image_rows":$nRows,"tile_assign_rows_per_sec":$tput,"cpus":$cpus,"mult":$mult,"reps":$reps,"rep_times":$repJson,"errors":$errJson,"extra":$extraJson,"steal_pct":${f"$stealPct%.2f"},"wall_sec":${f"$wallSec%.1f"},"knn_certified":${knnCert._1},"knn_queries":${knnCert._2}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","image_rows":$nRows,"tile_assign_rows_per_sec":$tput,"cpus":$cpus,"mult":$mult,"reps":$reps,"rep_times":$repJson,"errors":$errJson,"extra":$extraJson,"steal_pct":${f"$stealPct%.2f"},"round_steal_pct":${roundSteal.result().map(v => f"$v%.2f").mkString("[", ",", "]")},"wall_sec":${f"$wallSec%.1f"},"knn_certified":${knnCert._1},"knn_queries":${knnCert._2}}""")
     spark.stop()
   }
 }

@@ -38,6 +38,12 @@ object OsmSource {
     } else if (Pbf.isPbf(bytes)) Pbf.decode(bytes)
     else OsmXml.parse(new String(bytes, StandardCharsets.UTF_8))
 
+  /** Whole-file driver-side read — serves ONLY the XML path (a single XML
+    * document is inherently sequential) and in-memory golden fixtures; the
+    * CLI's binary inputs go through the streaming scans (OmaCli:170-190),
+    * which never materialize a file as one array. Capped at 2 GiB by the
+    * JVM array limit — acceptable for the XML-document use case only.
+    */
   def read(path: String): OsmInput = read(Files.readAllBytes(Paths.get(path)))
 
   def toRows(input: OsmInput): Seq[OsmRow] =

@@ -136,21 +136,60 @@ object DocQueries {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Below this edge count the connected-components labeling runs as a
+    * SINGLE-TASK union-find instead of the iterative HashMin loop — the
+    * same scale-adaptive reasoning as a broadcast join: when the whole
+    * graph fits one executor's memory (2M edges ~ 32 MB of longs), paying
+    * 8-11 distributed rounds of job overhead to propagate labels is pure
+    * waste. Above the cap the shuffle-native loop below is the only shape
+    * that holds. CcSpec asserts both branches produce identical labels. */
+  val LocalCcEdgeCap: Long = 1L << 21
+
   private def dupLabels(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
     // both edge directions from ONE pass: the former
     // `pairs.select(a,b) union pairs.select(b,a)` re-executed the entire
     // minhash pair pipeline (bands, candidate join, Jaccard confirm —
     // the ~2.7 s dominant cost of this operator) once per union branch;
     // the explode emits src->dst and dst->src per input row in a single
-    // execution, and the checkpoint pins the result for the loop
+    // execution, and the checkpoint (in ccLabels) pins the result
     val edges = pairs
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+    ccLabels(s, edges, LocalCcEdgeCap)
+  }
+
+  /** Connected-component labels (id -> min id of its component) over a
+    * bidirectional (src, dst) edge frame. Scale-adaptive: single-task
+    * union-find under `localCap` edges, distributed HashMin + pointer-jump
+    * above it. */
+  private[graft] def ccLabels(s: SparkSession, edges0: DataFrame, localCap: Long): DataFrame = {
+    import s.implicits._
+    val edges = edges0.localCheckpoint()
+    val nEdges = edges.count()
+    if (nEdges <= localCap) {
+      // one executor task, classic union-find with path compression and
+      // min-root union — labels = component minima by construction
+      return edges.as[(Long, Long)].repartition(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) x = parent(x)
+          var y = x0
+          while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }.toDF("id", "lab")
+    }
     // init = HashMin round 1 fused in: label0 = min(id, min neighbour) —
     // same shuffle cost as a bare distinct over the endpoints, one fewer
     // convergence round (edges are bidirectional, so grouping by src
@@ -176,13 +215,27 @@ object DocQueries {
       // materializes — the former separate join-back + count() job per
       // round is folded away. (Every dst id is also a seeded label id,
       // so `old` is never null.)
+      //
+      // POINTER JUMP fused into the same job: after the one-hop min
+      // (lab1), each node also takes the PREVIOUS round's label of lab1
+      // (m(lab1) <= lab1, same component — labels are monotone and every
+      // label value is itself a participating node id). One-hop alone
+      // needs diameter rounds (11 on the sf0.1 pair graph's chain-shaped
+      // components); hop+jump roughly doubles the propagated distance per
+      // round, converging in ~log2(diameter) rounds. The second join is
+      // against the same broadcast frame the propagation join uses, so
+      // the exchange is reused, not rebuilt.
       val acc = s.sparkContext.longAccumulator("cc-changed")
       val prop = edges.join(joinSide(labels.withColumnRenamed("id", "src")), Seq("src"))
         .select(col("dst").as("id"), col("lab"), lit(false).as("own"))
       val next = labels.select(col("id"), col("lab"), lit(true).as("own"))
         .union(prop)
         .groupBy("id")
-        .agg(min("lab").as("lab"), min(when(col("own"), col("lab"))).as("old"))
+        .agg(min("lab").as("lab1"), min(when(col("own"), col("lab"))).as("old"))
+        .join(joinSide(labels.select(col("id").as("lab1"), col("lab").as("lab2"))),
+          Seq("lab1"), "left")
+        .select(col("id"),
+          least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"), col("old"))
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
           it.map { case (id, lab, old) =>
