@@ -14,6 +14,14 @@ object PlanDump {
     val qs = pts.filter(pmod(col("id"), lit(200)) === 0)
     val df = operators.Knn(pts, qs, 3, operators.Knn.adaptiveCellSize(n, 3))
     df.explain("formatted")
+    // execute, then dump the FINAL adaptive plan: AQE stage reuse
+    // (ReusedQueryStage / ReusedExchange) only shows post-execution
+    df.write.format("noop").mode("overwrite").save()
+    val fin = df.queryExecution.executedPlan.toString
+    println("=== post-execution adaptive plan ===")
+    println(fin.linesIterator.filter(l =>
+      l.contains("Reused") || l.contains("Exchange") || l.contains("ObjectHashAggregate") ||
+        l.contains("QueryStage")).mkString("\n"))
     spark.stop()
   }
 }

@@ -128,13 +128,10 @@ object DocQueries {
     * d_dup_groups and d_dup_reps. See the loop comments for the one-job
     * rounds, the scale-adaptive broadcast and the fused init.
     */
-  /** Drop a localCheckpoint's backing RDD storage eagerly (Dataset.unpersist
-    * only reaches CacheManager entries, not checkpoint RDDs; without this
-    * the HashMin loop accumulates one persisted frame per round until GC). */
+  /** See [[graft.core.Caching.freeLocalCheckpoints]] — without this the
+    * HashMin loop accumulates one persisted frame per round until GC. */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.core.Caching.freeLocalCheckpoints(df)
 
   /** Below this edge count the connected-components labeling runs as a
     * SINGLE-TASK union-find instead of the iterative HashMin loop — the

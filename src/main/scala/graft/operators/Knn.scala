@@ -110,7 +110,20 @@ object Knn {
   def apply(points: DataFrame, queries: DataFrame, k: Int, cellSize: Long): DataFrame = {
     val p = pass1(points, queries, k, cellSize)
 
-    val resolved = p.agged.filter(col("final"))
+    // The per-query aggregate fans out to THREE consumers below (the
+    // certified output, the certified-qid broadcast, the brute tail's
+    // anti side). Spark plans each reference as an independent subtree and
+    // AQE's stage cache does not reach inside broadcast-child plans
+    // (verified on the executed plan: the pass-1 join+agg pipeline appears
+    // twice, no ReusedExchange/ReusedQueryStage), so without pinning the
+    // expensive pass-1 join executes twice per action. The aggregate is
+    // one row per query — pin it with a LAZY local checkpoint: the first
+    // job to touch it (the certified-qid broadcast build) computes and
+    // persists it, every later consumer reads it back. Callers that loop
+    // (the bench) free the pinned RDD via Caching.freeLocalCheckpoints.
+    val agged = p.agged.localCheckpoint(false)
+
+    val resolved = agged.filter(col("final"))
       .select(col("qid"), posexplode(col("tk").getField("items")))
       .select(col("qid"), (col("pos") + 1).as("rk"), col("col").getField("pid").as("pid"))
 
@@ -120,7 +133,7 @@ object Knn {
     // join) would ship the whole cloud
     // broadcast the certified-qid list too: otherwise the anti join plans
     // as a sort-merge with exchanges on both sides
-    val certifiedQids = broadcast(p.agged.filter(col("final")).select("qid"))
+    val certifiedQids = broadcast(agged.filter(col("final")).select("qid"))
     val brute = broadcast(p.qs.join(certifiedQids, Seq("qid"), "left_anti"))
       .join(p.pts, col("qid") =!= col("pid"))
       .withColumn("d", p.dist)

@@ -108,6 +108,12 @@ object KnnHex {
           when(col("tk").getField("n") >= k,
             element_at(col("tk").getField("items"), k).getField("d") < lit(lbSq(maxD + 1)))
             .otherwise(lit(false)))
+        // pin the per-query aggregate: it fans out to the resolved output
+        // AND the unresolved anti side, and pass 2 / the brute tail nest
+        // the earlier passes' subtrees — without pinning, pass 1's join
+        // re-executes ~5x per action (see Knn.apply for the verified
+        // no-reuse behavior of broadcast-child plans)
+        .localCheckpoint(false)
       val resolved = explodeTopk(agged.filter(col("final")))
       val unresolved = qSet.join(
         broadcast(agged.filter(col("final")).select("qid")), Seq("qid"), "left_anti")
