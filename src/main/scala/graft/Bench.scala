@@ -213,9 +213,24 @@ object Bench {
     for (_ <- 1 to reps) {
       val (rs0, rb0) = cpuTicks()
       for ((name, run) <- tasks) {
+        // dev diagnosis aid: force a full GC + cleaner-drain pause before
+        // EVERY timed task (not just between rounds) to attribute cross-
+        // entry inflation to ContextCleaner lag vs genuine operator cost
+        if (sys.env.contains("SPARK_GRAFT_GC_EACH")) { System.gc(); Thread.sleep(500) }
+        val cgDiag = sys.env.contains("SPARK_GRAFT_CODEGEN_STATS")
+        val (cg0, cgMs0) =
+          if (cgDiag) {
+            val m = org.apache.spark.metrics.source.CodegenMetrics
+            (m.METRIC_COMPILATION_TIME.getCount, m.METRIC_COMPILATION_TIME.getSnapshot.getMean)
+          } else (0L, 0.0)
         Try(run()) match {
           case Success(sec) => times(name) = sec :: times(name)
           case Failure(e)   => errors(name) = e.toString.take(200)
+        }
+        if (cgDiag) {
+          val m = org.apache.spark.metrics.source.CodegenMetrics
+          val n = m.METRIC_COMPILATION_TIME.getCount - cg0
+          println(f"[codegen] $name%-14s compiles=$n%3d meanMs=${m.METRIC_COMPILATION_TIME.getSnapshot.getMean}%.1f")
         }
       }
       val (rs1, rb1) = cpuTicks()
