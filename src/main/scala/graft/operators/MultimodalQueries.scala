@@ -244,6 +244,47 @@ object MultimodalQueries {
         }
         .toDF("audio_id", "r_sr", "r_n", "sum_s")
         .orderBy("audio_id")
+    },
+
+    // phash-band image near-dup: plant a <=2-bit-perturbed variant for 20%
+    // of images, then find every pair within Hamming distance 3 via the
+    // 4x15-bit band blocking join (PhashDup). The oracle replays the
+    // variant planting, the banding, the bucket cap and the bit_count
+    // confirm in DuckDB bit arithmetic.
+    QueryDef.sql("m_phash_dup", {
+      def h(e: String) = graft.core.PortableHash.duckSql(e)
+      val cap = PhashDup.BucketCap
+      s"""WITH ${ImageTable.duckCte()},
+         |corpus AS (
+         |  SELECT image_id, phash FROM img
+         |  UNION ALL
+         |  SELECT image_id || '_v',
+         |    xor(xor(phash, 1::BIGINT << CAST(${h("('pv1:' || image_id)")} % 60 AS INT)),
+         |        1::BIGINT << CAST(${h("('pv2:' || image_id)")} % 60 AS INT))
+         |  FROM img WHERE ${h("('pv:' || image_id)")} % 5 = 0),
+         |bands AS (
+         |  SELECT image_id, phash, b * 32768 + ((phash >> (b * 15)) & 32767) AS bucket
+         |  FROM corpus, generate_series(0, 3) t(b)),
+         |ok AS (SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= $cap),
+         |bc AS (SELECT bands.* FROM bands JOIN ok USING (bucket)),
+         |cand AS (
+         |  SELECT DISTINCT x.image_id AS id_a, y.image_id AS id_b,
+         |         x.phash AS pa, y.phash AS pb
+         |  FROM bc x JOIN bc y ON x.bucket = y.bucket AND x.image_id < y.image_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= ${PhashDup.MaxHamming}
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val img = ImageTable.df(s, dir).select("image_id", "phash")
+      val variants = img
+        .filter(ImageTable.h60(concat(lit("pv:"), col("image_id"))) % 5 === 0)
+        .withColumn("f1", (ImageTable.h60(concat(lit("pv1:"), col("image_id"))) % 60).cast("int"))
+        .withColumn("f2", (ImageTable.h60(concat(lit("pv2:"), col("image_id"))) % 60).cast("int"))
+        .select(concat(col("image_id"), lit("_v")).as("image_id"),
+          col("phash")
+            .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), f1)"))
+            .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), f2)")).as("phash"))
+      PhashDup(img.unionByName(variants)).orderBy("id_a", "id_b")
     }
   )
 }
