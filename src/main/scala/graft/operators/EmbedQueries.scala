@@ -297,6 +297,87 @@ object EmbedQueries {
   /** same kernel over Column operands (the hierarchical-assignment path). */
   private def ipc(x: Column, y: Column): Column = graft.plans.LongDot(x, y)
 
+  // --- Product quantization (PQ) — the memory-compact extreme-scale path.
+  // Jegou/Douze/Schmid 2011 ("Product Quantization for Nearest Neighbor
+  // Search"): split the 64-dim vector into PqM=8 subspaces of 8 dims; per
+  // subspace a PqK=16-entry codebook quantizes the subvector to a 4-bit
+  // code, so a vector is 8 codes (4 bytes) instead of 64 floats — at 10^12
+  // vectors the code table fits where raw vectors cannot. Scoring is ADC
+  // (asymmetric distance): per query a PqM x PqK lookup table of exact
+  // partial L2s is broadcast, and each candidate costs PqM table lookups.
+  // PqK is a RESOLUTION constant (like the milli quantization), not a
+  // capacity that must track n — the scale dimension is code compactness.
+
+  val PqM = 8
+  val PqSub = Dim / PqM
+  val PqK = 16
+
+  private def pqHashSql = PortableHash.sparkSql("('pqc:' || CAST(vec_id AS STRING))")
+  private def pqHashDuck = PortableHash.duckSql("('pqc:' || CAST(vec_id AS VARCHAR))")
+
+  /** PQ codebook: subvectors of the first PqK hash-ranked vectors (the same
+    * deterministic sample-quantizer device as the IVF centroids, per
+    * subspace). Frame: (m, j, sub) — PqM*PqK rows, broadcast everywhere. */
+  private[graft] def pqCodebook(v: DataFrame): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")
+    v.withColumn("h", expr(pqHashSql))
+      .orderBy("h", "vec_id").limit(PqK)
+      .withColumn("j", row_number().over(wRank).cast("long") - 1L)
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("m"), col("j"),
+        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+  }
+
+  /** PQ encoding: (vec_id, codes[PqM]) — each vector's per-subspace nearest
+    * codebook entry by exact integer L2 (ties on code index). The argmin is
+    * a map-side-combining min_by aggregate, NOT a window sort: at scale the
+    * encode is one broadcast-scored pass + one combine-friendly shuffle. */
+  private[graft] def pqCodes(v: DataFrame): DataFrame = {
+    val sub = slice(col("v"), col("m") * PqSub + 1, lit(PqSub))
+    val sd = ipc(sub, sub) - lit(2L) * ipc(sub, col("csub")) + ipc(col("csub"), col("csub"))
+    v.crossJoin(broadcast(pqCodebook(v).withColumnRenamed("sub", "csub")))
+      .withColumn("sd", sd)
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("j"), struct(col("sd"), col("j"))).as("code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), x -> CAST(x.code AS INT))")
+        .as("codes"))
+  }
+
+  /** PQ-ADC top-k: every query (vec_id % 25 = 0) ranks ALL candidates by
+    * approximate L2 = sum over subspaces of the partial distance to the
+    * candidate's codebook entry, via its broadcast PqM x PqK flattened
+    * lookup table — the compact-code scan shape. Exact integer arithmetic
+    * throughout, so the DuckDB oracle replays codebook, codes, and ADC
+    * ranking bit-for-bit. */
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val cb = pqCodebook(v)
+    val codes = pqCodes(v)
+    // per-query flattened LUT: lut[m*PqK + j + 1] = L2(sub_m(q), cb[m][j])
+    val qsub = slice(col("v"), col("m") * PqSub + 1, lit(PqSub))
+    val pd = ipc(qsub, qsub) - lit(2L) * ipc(qsub, col("sub")) + ipc(col("sub"), col("sub"))
+    val lut = v.filter(col("vec_id") % 25 === 0)
+      .crossJoin(broadcast(cb))
+      .withColumn("idx", col("m") * PqK + col("j"))
+      .withColumn("pd", pd)
+      .groupBy(col("vec_id").as("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, pd))), x -> x.pd)").as("lut"))
+    val adc = expr(
+      s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT),
+         |  (acc, m) -> acc + element_at(lut, m * $PqK + element_at(codes, m + 1) + 1))""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("pid"))
+    codes.withColumnRenamed("vec_id", "pid")
+      .crossJoin(broadcast(lut))
+      .filter(col("pid") =!= col("qid"))
+      .withColumn("adist", adc)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("adist"))
+      .orderBy("qid", "rk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // brute-force top-k maximum-inner-product search: the exactness/recall
@@ -546,6 +627,36 @@ object EmbedQueries {
         .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("dot"))
         .orderBy("qid", "rk")
     },
+
+    // product-quantization ADC top-k (see pqTopk): codebook = subvectors of
+    // the PqK hash-ranked sample vectors, codes = per-subspace exact-L2
+    // argmin, ranking = sum of PqM lookup-table partials. The oracle
+    // replays all three stages in integer list arithmetic.
+    QueryDef.sql("e_pq_topk", {
+      def subL2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i -> ($a - $b[i]) * ($a - $b[i]))) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
+         |ranked AS (SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY $pqHashDuck, vec_id) AS rk FROM v),
+         |cb AS (SELECT t.m, rk - 1 AS j,
+         |    list_transform(range(1, ${PqSub + 1}), i -> v[t.m * $PqSub + i]) AS sub
+         |  FROM ranked, generate_series(0, ${PqM - 1}) t(m) WHERE rk <= $PqK),
+         |sd AS (SELECT v.vec_id, cb.m, cb.j,
+         |    ${subL2(s"v.v[cb.m * $PqSub + i]", "cb.sub")} AS d
+         |  FROM v CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r FROM sd) t
+         |  WHERE r = 1),
+         |adist AS (SELECT s.vec_id AS qid, c.vec_id AS pid, CAST(SUM(s.d) AS BIGINT) AS adist
+         |  FROM sd s JOIN codes c ON c.m = s.m AND c.j = s.j AND c.vec_id <> s.vec_id
+         |  WHERE s.vec_id % 25 = 0
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, pid, adist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, pid) AS rk FROM adist)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, adist FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) => pqTopk(s, dir) },
 
     // bucket histogram: the skew diagnostic for the LSH path
     QueryDef.sql("e_bucket_hist",

@@ -96,6 +96,17 @@ class EmbedSpec extends AnyFunSuite {
     val ivfRecall = (ivf intersect b).size.toDouble / b.size
     info(f"IVF recall@3 on 20-cluster corpus: $ivfRecall%.2f (${(ivf intersect b).size}/${b.size})")
     assert(ivfRecall >= 0.5, f"clustered IVF recall too low: $ivfRecall%.2f")
+    // PQ-ADC on the same corpus: same-cluster vectors quantize to (near-)
+    // identical codes, so every retrieved neighbour should share the
+    // query's cluster label — the semantically right check for a coarse
+    // quantizer (exact-rank overlap is tie-broken arbitrarily inside a
+    // cluster where all members share codes and hence adist).
+    val labelOf = vecs.map(t => t._1 -> t._3).toMap
+    val pq = EmbedQueries.pqTopk(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pq.nonEmpty)
+    val agree = pq.count { case (q, p) => labelOf(q) == labelOf(p) }.toDouble / pq.size
+    info(f"PQ-ADC same-cluster agreement@3: $agree%.2f (${pq.size} results)")
+    assert(agree >= 0.9, f"PQ cluster agreement too low: $agree%.2f")
   }
 
   test("IVF stays correct across nlist configurations; list balance logged") {
