@@ -350,28 +350,70 @@ object EmbedQueries {
     * lookup table — the compact-code scan shape. Exact integer arithmetic
     * throughout, so the DuckDB oracle replays codebook, codes, and ADC
     * ranking bit-for-bit. */
-  def pqTopk(s: SparkSession, dir: String): DataFrame = {
-    val v = quantized(s, dir)
-    val cb = pqCodebook(v)
-    val codes = pqCodes(v)
-    // per-query flattened LUT: lut[m*PqK + j + 1] = L2(sub_m(q), cb[m][j])
+  /** Per-query flattened ADC lookup table (qid, lut[PqM*PqK]):
+    * lut[m*PqK + j + 1] = exact integer L2(sub_m(q), codebook[m][j]). */
+  private[graft] def pqLut(v: DataFrame): DataFrame = {
     val qsub = slice(col("v"), col("m") * PqSub + 1, lit(PqSub))
     val pd = ipc(qsub, qsub) - lit(2L) * ipc(qsub, col("sub")) + ipc(col("sub"), col("sub"))
-    val lut = v.filter(col("vec_id") % 25 === 0)
-      .crossJoin(broadcast(cb))
+    v.filter(col("vec_id") % 25 === 0)
+      .crossJoin(broadcast(pqCodebook(v)))
       .withColumn("idx", col("m") * PqK + col("j"))
       .withColumn("pd", pd)
       .groupBy(col("vec_id").as("qid"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, pd))), x -> x.pd)").as("lut"))
-    val adc = expr(
-      s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT),
-         |  (acc, m) -> acc + element_at(lut, m * $PqK + element_at(codes, m + 1) + 1))""".stripMargin)
+  }
+
+  /** ADC distance of a `codes` candidate against the in-row `lut`. */
+  private def pqAdcExpr = expr(
+    s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT),
+       |  (acc, m) -> acc + element_at(lut, m * $PqK + element_at(codes, m + 1) + 1))""".stripMargin)
+
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val codes = pqCodes(v)
+    val lut = pqLut(v)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adist"), col("pid"))
     codes.withColumnRenamed("vec_id", "pid")
       .crossJoin(broadcast(lut))
       .filter(col("pid") =!= col("qid"))
-      .withColumn("adist", adc)
+      .withColumn("adist", pqAdcExpr)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("adist"))
+      .orderBy("qid", "rk")
+  }
+
+  /** IVF-PQ top-k — the combined extreme-scale ANN architecture (FAISS
+    * IVFPQ shape, raw-vector PQ variant, i.e. `by_residual=false`): the IVF
+    * coarse quantizer PRUNES (each candidate lives in exactly one of nlist
+    * inverted lists; a query scans only its 2 probed lists, ~2n/nlist
+    * candidates instead of n), and the PQ codes COMPRESS (candidates are
+    * ranked by ADC over 4-bit codes — the list storage at 10^12 vectors is
+    * codes + ids, never raw vectors). Exact integer arithmetic end-to-end,
+    * so the DuckDB oracle replays centroid assignment, codebook, codes and
+    * ADC ranking bit-for-bit. */
+  def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val cent = centroids(v, ivfNlist(v.count()))
+    val l2 = ipc(col("v"), col("v")) - lit(2L) * ipc(col("v"), col("c")) +
+      ipc(col("c"), col("c"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
+    val d = v.crossJoin(broadcast(cent))
+      .withColumn("dist", l2)
+      .withColumn("crk", row_number().over(wC))
+    // inverted lists carry ONLY (pid, list id, codes) — the compact shape
+    val lists = d.filter(col("crk") === 1)
+      .select(col("vec_id").as("pid"), col("j"))
+      .join(pqCodes(v).withColumnRenamed("vec_id", "pid"), Seq("pid"))
+    val probes = d.filter(col("crk") <= 2 && col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("pid"))
+    probes.join(lists, Seq("j")).filter(col("pid") =!= col("qid"))
+      .join(broadcast(pqLut(v)), Seq("qid"))
+      .withColumn("adist", pqAdcExpr)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("pid"), col("adist"))
@@ -657,6 +699,46 @@ object EmbedQueries {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, adist FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin
     }) { (s, dir) => pqTopk(s, dir) },
+
+    // IVF-PQ combined top-k (see ivfPqTopk): the oracle replays the IVF
+    // centroid assignment (e_ivf_topk's CTEs), the PQ codebook/codes
+    // (e_pq_topk's CTEs), and ranks probed-list candidates by summed ADC
+    // partials — pruning and compression composed, bit-for-bit.
+    QueryDef.sql("e_ivfpq_topk", {
+      val l2 = "CAST(list_sum(list_transform(range(1, 65), i -> (v[i] - c[i]) * (v[i] - c[i]))) AS BIGINT)"
+      def subL2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i -> ($a - $b[i]) * ($a - $b[i]))) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
+         |nn AS (SELECT GREATEST(4, round(sqrt(COUNT(*)))) AS nl FROM v),
+         |rankedc AS (SELECT v, row_number() OVER (ORDER BY $ivfHashDuck, vec_id) AS rk FROM v),
+         |cent AS (SELECT rk - 1 AS j, v AS c FROM rankedc, nn WHERE rk <= nl),
+         |d AS (SELECT vec_id, j, $l2 AS dist,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY $l2, j) AS crk
+         |      FROM v CROSS JOIN cent),
+         |asg AS (SELECT vec_id, j FROM d WHERE crk = 1),
+         |probes AS (SELECT vec_id AS qid, j FROM d WHERE crk <= 2 AND vec_id % 25 = 0),
+         |rankedq AS (SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY $pqHashDuck, vec_id) AS rk FROM v),
+         |cb AS (SELECT t.m, rk - 1 AS cj,
+         |    list_transform(range(1, ${PqSub + 1}), i -> v[t.m * $PqSub + i]) AS sub
+         |  FROM rankedq, generate_series(0, ${PqM - 1}) t(m) WHERE rk <= $PqK),
+         |sd AS (SELECT v.vec_id, cb.m, cb.cj,
+         |    ${subL2(s"v.v[cb.m * $PqSub + i]", "cb.sub")} AS pd
+         |  FROM v CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, cj FROM (
+         |    SELECT vec_id, m, cj,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY pd, cj) AS r FROM sd) t
+         |  WHERE r = 1),
+         |adist AS (SELECT p.qid, a.vec_id AS pid, CAST(SUM(s.pd) AS BIGINT) AS adist
+         |  FROM probes p JOIN asg a ON a.j = p.j AND a.vec_id <> p.qid
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  JOIN sd s ON s.vec_id = p.qid AND s.m = c.m AND s.cj = c.cj
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, pid, adist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, pid) AS rk FROM adist)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, adist FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) => ivfPqTopk(s, dir) },
 
     // bucket histogram: the skew diagnostic for the LSH path
     QueryDef.sql("e_bucket_hist",

@@ -107,6 +107,40 @@ class EmbedSpec extends AnyFunSuite {
     val agree = pq.count { case (q, p) => labelOf(q) == labelOf(p) }.toDouble / pq.size
     info(f"PQ-ADC same-cluster agreement@3: $agree%.2f (${pq.size} results)")
     assert(agree >= 0.9, f"PQ cluster agreement too low: $agree%.2f")
+    // IVF-PQ composed: pruning must not break the cluster semantics (same
+    // agreement bar as flat PQ), and the probed candidate sets must
+    // actually prune — each query scans ~2n/nlist candidates, not n.
+    val ivfpq = EmbedQueries.ivfPqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivfpq.nonEmpty)
+    val agree2 = ivfpq.count { case (q, p) => labelOf(q) == labelOf(p) }.toDouble / ivfpq.size
+    info(f"IVF-PQ same-cluster agreement@3: $agree2%.2f (${ivfpq.size} results)")
+    assert(agree2 >= 0.9, f"IVF-PQ cluster agreement too low: $agree2%.2f")
+  }
+
+  test("IVF-PQ candidate sets are pruned to the probed lists") {
+    val dir = "/root/testdata/sf0.01"
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = v.count()
+    // replay the assignment: candidates per query = members of its <=2
+    // probed lists; with nlist ~ sqrt(n) lists the mean is ~2*sqrt(n).
+    import org.apache.spark.sql.functions._
+    val q = EmbedQueries.quantized(spark, dir)
+    val cent = EmbedQueries.centroids(q, EmbedQueries.ivfNlist(n))
+    val counts = q.crossJoin(broadcast(cent))
+      .withColumn("dist", graft.plans.LongDot(col("v"), col("v")) -
+        lit(2L) * graft.plans.LongDot(col("v"), col("c")) +
+        graft.plans.LongDot(col("c"), col("c")))
+      .withColumn("crk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("j"))))
+      .filter(col("crk") === 1).groupBy("j").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxList = counts.values.max
+    info(s"n=$n nlist=${EmbedQueries.ivfNlist(n)} lists=${counts.size} maxList=$maxList")
+    // worst query scans 2 * maxList candidates — far below the n a flat
+    // PQ scan pays; the bound that holds the shape at 10^12 vectors
+    assert(2 * maxList < n, s"pruning degenerate: 2*$maxList >= $n")
   }
 
   test("IVF stays correct across nlist configurations; list balance logged") {
