@@ -26,6 +26,49 @@ object GeoQueries {
     rows, "CAST(lon AS BIGINT)", "CAST(lat AS BIGINT)", Bbs.duckdbDiv)
   private def fromImg = s"FROM ${ImageTable.duckSql()}"
 
+  /** g_dist_join radius: 2.0 deg in the 1e-7 fixed-point planar space. */
+  val DistR = 20000000L
+
+  /** Radius distance self-join — all image pairs within planar distance r,
+    * the canonical spatial join besides point-in-polygon and kNN. Grid
+    * blocking: each point lands in ONE cell of side r (truncating `div`,
+    * matching DuckDB `//`; consecutive cell boundaries are >= r apart, so
+    * two points within r differ by at most 1 in each cell coordinate), the
+    * probe side fans out to its 3x3 cell neighbourhood, and candidates
+    * meet in a shuffle EQUI-join on the packed cell key — never a
+    * cartesian/BNLJ. The exact integer refine `dx^2+dy^2 <= r^2` runs only
+    * on adjacent-cell candidates (|dx|,|dy| <= 2r, squares ~1.6e15 — no
+    * Long overflow, unlike naive all-pairs where dx^2 can reach 1.3e19).
+    * `id_a < id_b` on the probe side emits each pair exactly once (a
+    * point's 9 probe keys are distinct, and a candidate lives in exactly
+    * one of them). At 100 TB: fan-out is a fixed 9x, the join shuffles on
+    * cell keys whose occupancy tracks local density (cell side = r), and
+    * dense metro cells split under AQE skew handling like any hot key.
+    * The oracle is the brute-force inequality join with a bbox prefilter —
+    * engine and oracle share no algorithm. */
+  def distJoin(img: DataFrame, r: Long): DataFrame = {
+    val pts = img.select(col("image_id"),
+      col("lon").cast("long").as("lon"), col("lat").cast("long").as("lat"))
+      .withColumn("cx", expr(s"lon div ${r}L"))
+      .withColumn("cy", expr(s"lat div ${r}L"))
+    val build = pts.select(col("image_id").as("id_b"),
+      col("lon").as("lon_b"), col("lat").as("lat_b"),
+      ((col("cx") + 200L) * 1000L + col("cy") + 200L).as("ck"))
+    val probe = pts
+      .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("image_id").as("id_a"), col("lon").as("lon_a"), col("lat").as("lat_a"),
+        ((col("cx") + col("ox") + 200L) * 1000L + col("cy") + col("oy") + 200L).as("ck"))
+    val d2 = (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")) +
+      (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b"))
+    probe.join(build, Seq("ck"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2", d2)
+      .filter(col("dist2") <= lit(r * r))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql("g_geotag",
@@ -79,6 +122,25 @@ object GeoQueries {
         .join(broadcast(meta), Seq("tile"))
         .select("image_id", "tile", "minlon", "minlat", "maxlon", "maxlat")
         .orderBy("image_id")
+    },
+
+    // radius distance self-join (see distJoin): grid-blocked equi-join
+    // engine vs brute-force bbox-prefiltered inequality-join oracle
+    QueryDef.sql("g_dist_join",
+      // HUGEINT squaring: DuckDB may reorder the refine ahead of the bbox
+      // prefilter, and an unfiltered planar delta can reach 3.6e9 whose
+      // INT64 square overflows — widen, filter, then narrow the survivors
+      s"""WITH p AS (SELECT image_id, CAST(lon AS BIGINT) AS lon,
+         |    CAST(lat AS BIGINT) AS lat $fromImg)
+         |SELECT id_a, id_b, CAST(d2 AS BIGINT) AS dist2 FROM (
+         |  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         |    CAST(a.lon - b.lon AS HUGEINT) * (a.lon - b.lon)
+         |      + CAST(a.lat - b.lat AS HUGEINT) * (a.lat - b.lat) AS d2
+         |  FROM p a JOIN p b ON a.image_id < b.image_id
+         |    AND ABS(a.lon - b.lon) <= $DistR AND ABS(a.lat - b.lat) <= $DistR) t
+         |WHERE d2 <= ${DistR * DistR}
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      distJoin(img(s, dir), DistR)
     },
 
     QueryDef.sql("g_pip",
