@@ -149,7 +149,12 @@ object Bench {
         "asof_1m" -> (() => operators.RelationalQueries.asofJoin(events10x)),
         "range_join_1m" -> (() => operators.RelationalQueries.rangeJoin(events10x)),
         "dup_groups" -> (() => operators.DocQueries.defs.find(_.name == "d_dup_groups").get
-          .fn(spark, sfDir)))
+          .fn(spark, sfDir)),
+        // radius distance self-join over the full 1M-point table; r scaled
+        // down to 0.1 deg so the output (~expected-pairs ∝ n^2 r^2) stays
+        // bounded at bench density — the grid join cost is the candidate
+        // generation, which this exercises at 9M probe rows
+        "dist_join_1m" -> (() => operators.GeoQueries.distJoin(img, 1000000L)))
     }
     val extraNames = extra.map(_._1)
 
