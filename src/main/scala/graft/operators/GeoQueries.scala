@@ -47,18 +47,23 @@ object GeoQueries {
     * The oracle is the brute-force inequality join with a bbox prefilter —
     * engine and oracle share no algorithm. */
   def distJoin(img: DataFrame, r: Long): DataFrame = {
+    // collision-free cell-key packing: the cy span is ~2*9e8/r cells, so
+    // the cx multiplier must exceed it for ANY r (a fixed multiplier
+    // merges distinct cells at small r — still correct, the exact refine
+    // drops the spurious candidates, but merged buckets waste candidates)
+    val m = 2L * (900000000L / r) + 5L
     val pts = img.select(col("image_id"),
       col("lon").cast("long").as("lon"), col("lat").cast("long").as("lat"))
       .withColumn("cx", expr(s"lon div ${r}L"))
       .withColumn("cy", expr(s"lat div ${r}L"))
     val build = pts.select(col("image_id").as("id_b"),
       col("lon").as("lon_b"), col("lat").as("lat_b"),
-      ((col("cx") + 200L) * 1000L + col("cy") + 200L).as("ck"))
+      (col("cx") * m + col("cy")).as("ck"))
     val probe = pts
       .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("image_id").as("id_a"), col("lon").as("lon_a"), col("lat").as("lat_a"),
-        ((col("cx") + col("ox") + 200L) * 1000L + col("cy") + col("oy") + 200L).as("ck"))
+        ((col("cx") + col("ox")) * m + col("cy") + col("oy")).as("ck"))
     val d2 = (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")) +
       (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b"))
     probe.join(build, Seq("ck"))
