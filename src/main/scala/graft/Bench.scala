@@ -63,35 +63,41 @@ object Bench {
     operators.Knn(pts, qs, k = 3, cellSize = operators.Knn.adaptiveCellSize(nRows, 3))
   }
 
-  def headline(s: SparkSession, sfDir: String, img: DataFrame, nRows: Long): Seq[(String, DataFrame)] = {
+  /** Headline entries as LAZY thunks: constructing some frames runs real
+    * distributed jobs (Knn pins its pass-1 aggregate with a localCheckpoint
+    * that AQE materializes at construction; the ANN entries run a count()
+    * for the scale-derived bucket width), so a consumer that filters
+    * entries — ScalingBench keeps only 3 of 9, twice per round — must be
+    * able to select BEFORE any construction cost is paid. */
+  def headline(s: SparkSession, sfDir: String, img: DataFrame, nRows: Long): Seq[(String, () => DataFrame)] = {
     Seq(
-      "tile_assign" -> img
+      "tile_assign" -> (() => img
         .select(operators.GeoQueries.tileCol.as("tile"))
-        .groupBy("tile").agg(count(lit(1)).as("n")),
-      "pip_join" -> img
+        .groupBy("tile").agg(count(lit(1)).as("n"))),
+      "pip_join" -> (() => img
         .select(operators.Pip.mask(col("lon"), col("lat"), operators.Pip.fixtureSet).as("m"))
-        .groupBy("m").agg(count(lit(1)).as("n")),
-      "skew_agg" -> {
+        .groupBy("m").agg(count(lit(1)).as("n"))),
+      "skew_agg" -> { () =>
         val sk = sources.ImageTable.skewed(img)
           .select(operators.GeoQueries.tileCol.as("tile"), col("phash"),
             pmod(xxhash64(col("image_id")), lit(16)).as("salt"))
         sk.groupBy("tile", "salt").agg(count(lit(1)).as("pc"), sum(col("phash") % 1000000).as("ps"))
           .groupBy("tile").agg(sum("pc").as("cnt"), sum("ps").as("s"))
       },
-      "knn" -> knnFrame(img, nRows),
-      "minhash_lsh" -> operators.DocQueries.defs.find(_.name == "d_minhash_lsh").get
-        .fn(s, sfDir).limit(1000000),
+      "knn" -> (() => knnFrame(img, nRows)),
+      "minhash_lsh" -> (() => operators.DocQueries.defs.find(_.name == "d_minhash_lsh").get
+        .fn(s, sfDir).limit(1000000)),
       // the bucket+multiprobe ANN join (the scale path) replaces the
       // round-1 brute-force topk_mips headline entry
-      "ann_topk" -> operators.EmbedQueries.defs.find(_.name == "e_ann_topk").get
-        .fn(s, sfDir),
-      "cosine_dup" -> operators.EmbedQueries.defs.find(_.name == "e_cosine_dup").get
-        .fn(s, sfDir),
+      "ann_topk" -> (() => operators.EmbedQueries.defs.find(_.name == "e_ann_topk").get
+        .fn(s, sfDir)),
+      "cosine_dup" -> (() => operators.EmbedQueries.defs.find(_.name == "e_cosine_dup").get
+        .fn(s, sfDir)),
       // the ANN bucket join at 100x the base vector count (bench-only; the
       // operator is oracle-gated at base scale by e_ann_topk)
-      "ann_scale" -> operators.EmbedQueries.annTopkScaled(s, sfDir, 100),
-      "join_pricing" -> operators.RelationalQueries.defs.find(_.name == "q_join_pricing").get
-        .fn(s, sfDir)
+      "ann_scale" -> (() => operators.EmbedQueries.annTopkScaled(s, sfDir, 100)),
+      "join_pricing" -> (() => operators.RelationalQueries.defs.find(_.name == "q_join_pricing").get
+        .fn(s, sfDir))
     )
   }
 
@@ -126,7 +132,16 @@ object Bench {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nRows = img.count() // materializes the cached input before timing
 
-    val qs = headline(spark, sfDir, img, nRows)
+    // dev bisection aid: SPARK_GRAFT_ONLY=name,name limits the run to a
+    // subset of entries (isolates which co-resident queries inflate another
+    // entry's in-session time); headline `total` is meaningless under it.
+    // Applied BEFORE construction: building an entry's frame can itself run
+    // jobs (knn checkpoint, ANN count), which would pollute a bisection.
+    val keep: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(list) => list.split(",").map(_.trim).toSet
+      case None => _ => true
+    }
+    val qs = headline(spark, sfDir, img, nRows).filter(q => keep(q._1))
     val names = qs.map(_._1)
 
     // EXTRA entries (not in `total`, so the headline stays comparable
@@ -155,6 +170,7 @@ object Bench {
         // bounded at bench density — the grid join cost is the candidate
         // generation, which this exercises at 9M probe rows
         "dist_join_1m" -> (() => operators.GeoQueries.distJoin(img, 1000000L)))
+        .filter(e => keep(e._1))
     }
     val extraNames = extra.map(_._1)
 
@@ -179,24 +195,23 @@ object Bench {
             core.Caching.freeLocalCheckpoints(fresh)
             sec
           }
-        case (n, df) => n -> (() => runOnce(df))
+        case (n, mk) =>
+          val df = mk() // built once, re-executed per rep (headline scheme)
+          n -> (() => runOnce(df))
       } ++
         extra.map { case (n, mk) =>
           n -> { () =>
             val t0 = System.nanoTime()
-            mk().write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val df = mk()
+            df.write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            // release any localCheckpoint the operator pinned (dup_groups'
+            // CC labels) — rebuilt next rep anyway
+            core.Caching.freeLocalCheckpoints(df)
+            sec
           }
         }
-    // dev bisection aid: SPARK_GRAFT_ONLY=name,name limits the run to a
-    // subset of entries (isolates which co-resident queries inflate another
-    // entry's in-session time); headline `total` is meaningless under it
-    val tasks = sys.env.get("SPARK_GRAFT_ONLY") match {
-      case Some(list) =>
-        val keep = list.split(",").map(_.trim).toSet
-        tasks0.filter { case (n, _) => keep(n) }
-      case None => tasks0
-    }
+    val tasks = tasks0
 
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
@@ -223,19 +238,21 @@ object Bench {
         // entry inflation to ContextCleaner lag vs genuine operator cost
         if (sys.env.contains("SPARK_GRAFT_GC_EACH")) { System.gc(); Thread.sleep(500) }
         val cgDiag = sys.env.contains("SPARK_GRAFT_CODEGEN_STATS")
-        val (cg0, cgMs0) =
-          if (cgDiag) {
-            val m = org.apache.spark.metrics.source.CodegenMetrics
-            (m.METRIC_COMPILATION_TIME.getCount, m.METRIC_COMPILATION_TIME.getSnapshot.getMean)
-          } else (0L, 0.0)
+        val cg0 =
+          if (cgDiag)
+            org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+          else 0L
         Try(run()) match {
           case Success(sec) => times(name) = sec :: times(name)
           case Failure(e)   => errors(name) = e.toString.take(200)
         }
         if (cgDiag) {
+          // per-entry compile count is the thrash signal; the global mean
+          // compile time bounds what those compiles cost this task
           val m = org.apache.spark.metrics.source.CodegenMetrics
           val n = m.METRIC_COMPILATION_TIME.getCount - cg0
-          println(f"[codegen] $name%-14s compiles=$n%3d meanMs=${m.METRIC_COMPILATION_TIME.getSnapshot.getMean}%.1f")
+          val meanMs = m.METRIC_COMPILATION_TIME.getSnapshot.getMean
+          println(f"[codegen] $name%-14s compiles=$n%3d ~${n * meanMs}%.0fms (sessionMeanMs=$meanMs%.1f)")
         }
       }
       val (rs1, rb1) = cpuTicks()

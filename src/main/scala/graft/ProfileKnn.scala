@@ -50,7 +50,19 @@ object ProfileKnn {
     val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("pid"))
     val local = joined.withColumn("d", dist).withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
     t("+ window topk")(local)
-    t("full Knn")(operators.Knn(pts, qs0, 3, cellSize))
+    // full operator: rebuilt per execution — Knn pins its pass-1 aggregate
+    // with a lazy localCheckpoint, so re-running one frame would time
+    // checkpoint READS, not the operator (the Bench.main knn scheme)
+    def fullKnn(): Double = {
+      val t0 = System.nanoTime()
+      val fresh = operators.Knn(pts, qs0, 3, cellSize)
+      fresh.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      core.Caching.freeLocalCheckpoints(fresh)
+      sec
+    }
+    fullKnn() // warm (codegen + input cache)
+    println(f"${"full Knn"}%-28s ${fullKnn()}%8.2f s")
     spark.stop()
   }
 }

@@ -123,9 +123,14 @@ object TileLineage {
         .map(_.getPath.getName).filter(_.startsWith("grp="))
         .map(_.stripPrefix("grp=").toLong).sorted
     val written = Seq.newBuilder[TileStat]
-    grps.zipWithIndex.foreach { case (g, i) =>
-      if (i >= failAfterGroups)
-        throw new IllegalStateException(s"injected crash after $i committed groups")
+    // crash injection counts COMMITTED groups (manifest appends), not
+    // iterated grp dirs: on a resumed root the first dirs are usually
+    // fully-committed no-ops, and the injected crash must still land
+    // after the promised number of real commits
+    var committed = 0
+    grps.foreach { g =>
+      if (committed >= failAfterGroups)
+        throw new IllegalStateException(s"injected crash after $committed committed groups")
       // a resumed run's grp dir also holds previously-committed tiles:
       // select only the FRESH tile directories (filesystem metadata, no
       // data bytes touched for committed tiles — a fully-resumed no-op
@@ -141,6 +146,7 @@ object TileLineage {
             .parquet(fresh.map(_.toString): _*).drop("grp"))
         appendManifest(root, onDisk)
         written ++= onDisk
+        committed += 1
       }
     }
     WriteSummary(written.result(), done.toSeq.sorted)

@@ -191,7 +191,13 @@ object OmaCli {
         } finally rows.unpersist()
       } else {
         // XML: one driver-side parse (a single XML document is inherently
-        // sequential), then the same distributed pipeline
+        // sequential), then the same distributed pipeline. Directory inputs
+        // are only meaningful for the binary formats (a directory of XML
+        // shards has no single-document semantics) — fail with a clear
+        // message instead of Files.readAllBytes's opaque IOException.
+        require(!Files.isDirectory(a.input),
+          s"${a.input}: directory input sniffed as XML — sharded directory " +
+            "inputs are supported for the o5m/pbf binary formats only")
         val in = OsmSource.read(a.input.toString)
         if (a.verbose >= 2)
           // Reunify.java:230 wording; counts through the F10 formatter

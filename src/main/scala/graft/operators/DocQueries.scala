@@ -142,7 +142,8 @@ object DocQueries {
     * that holds. CcSpec asserts both branches produce identical labels. */
   val LocalCcEdgeCap: Long = 1L << 21
 
-  private def dupLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupLabels(s: SparkSession, dir: String,
+                               localCap: Long = LocalCcEdgeCap): DataFrame = {
     val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
     // both edge directions from ONE pass: the former
     // `pairs.select(a,b) union pairs.select(b,a)` re-executed the entire
@@ -155,7 +156,7 @@ object DocQueries {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    ccLabels(s, edges, LocalCcEdgeCap)
+    ccLabels(s, edges, localCap)
   }
 
   /** Connected-component labels (id -> min id of its component) over a
@@ -168,8 +169,11 @@ object DocQueries {
     val nEdges = edges.count()
     if (nEdges <= localCap) {
       // one executor task, classic union-find with path compression and
-      // min-root union — labels = component minima by construction
-      return edges.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      // min-root union — labels = component minima by construction.
+      // Eagerly checkpointed so the edges pin can be released NOW (not at
+      // GC + ContextCleaner time): callers that loop (the bench) would
+      // otherwise accumulate one pinned edge frame per invocation.
+      val out = edges.as[(Long, Long)].repartition(1).mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x0: Long): Long = {
           var x = x0
@@ -185,7 +189,9 @@ object DocQueries {
         }
         val ks = parent.keys.toArray
         ks.iterator.map(k => (k, find(k)))
-      }.toDF("id", "lab")
+      }.toDF("id", "lab").localCheckpoint()
+      freeLocalCheckpoint(edges)
+      return out
     }
     // init = HashMin round 1 fused in: label0 = min(id, min neighbour) —
     // same shuffle cost as a bare distinct over the endpoints, one fewer
@@ -251,6 +257,9 @@ object DocQueries {
       // spurious extra round — benign); a zero-change round counts exactly
       // zero regardless of retries, so termination stays deterministic
     }
+    // final labels are materialized; the edges pin can go now (the caller
+    // can release the returned frame itself via freeLocalCheckpoints)
+    freeLocalCheckpoint(edges)
     labels
   }
 

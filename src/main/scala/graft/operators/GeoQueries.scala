@@ -35,7 +35,7 @@ object GeoQueries {
     * matching DuckDB `//`; consecutive cell boundaries are >= r apart, so
     * two points within r differ by at most 1 in each cell coordinate), the
     * probe side fans out to its 3x3 cell neighbourhood, and candidates
-    * meet in a shuffle EQUI-join on the packed cell key — never a
+    * meet in a shuffle EQUI-join on the (cx, cy) cell key — never a
     * cartesian/BNLJ. The exact integer refine `dx^2+dy^2 <= r^2` runs only
     * on adjacent-cell candidates (|dx|,|dy| <= 2r, squares ~1.6e15 — no
     * Long overflow, unlike naive all-pairs where dx^2 can reach 1.3e19).
@@ -47,26 +47,23 @@ object GeoQueries {
     * The oracle is the brute-force inequality join with a bbox prefilter —
     * engine and oracle share no algorithm. */
   def distJoin(img: DataFrame, r: Long): DataFrame = {
-    // collision-free cell-key packing: the cy span is ~2*9e8/r cells, so
-    // the cx multiplier must exceed it for ANY r (a fixed multiplier
-    // merges distinct cells at small r — still correct, the exact refine
-    // drops the spurious candidates, but merged buckets waste candidates)
-    val m = 2L * (900000000L / r) + 5L
+    // two-column (cx, cy) equi-join — the Knn.pass1 precedent: same
+    // shuffle cost as a packed single key, no collision-freedom argument
+    // or coordinate-domain assumption to carry
     val pts = img.select(col("image_id"),
       col("lon").cast("long").as("lon"), col("lat").cast("long").as("lat"))
       .withColumn("cx", expr(s"lon div ${r}L"))
       .withColumn("cy", expr(s"lat div ${r}L"))
     val build = pts.select(col("image_id").as("id_b"),
-      col("lon").as("lon_b"), col("lat").as("lat_b"),
-      (col("cx") * m + col("cy")).as("ck"))
+      col("lon").as("lon_b"), col("lat").as("lat_b"), col("cx"), col("cy"))
     val probe = pts
       .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("image_id").as("id_a"), col("lon").as("lon_a"), col("lat").as("lat_a"),
-        ((col("cx") + col("ox")) * m + col("cy") + col("oy")).as("ck"))
+        (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
     val d2 = (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")) +
       (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b"))
-    probe.join(build, Seq("ck"))
+    probe.join(build, Seq("cx", "cy"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist2", d2)
       .filter(col("dist2") <= lit(r * r))

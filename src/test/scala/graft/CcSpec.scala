@@ -52,11 +52,17 @@ class CcSpec extends AnyFunSuite {
   }
 
   test("both branches on the real sf0.01 pair graph agree") {
-    val dg = DocQueries.defs.find(_.name == "d_dup_groups").get
-    // d_dup_groups at sf0.01 runs the union-find branch (tiny graph); a
-    // forced-distributed re-run must group identically
-    val viaDefault = dg.fn(spark, "/root/testdata/sf0.01").collect().toSeq
-    assert(viaDefault.nonEmpty)
-    info(s"${viaDefault.size} components at sf0.01")
+    // the default path runs the union-find branch at sf0.01 (tiny graph);
+    // localCap=0 forces the distributed HashMin+pointer-jump loop over the
+    // SAME real pair graph — labels must be identical
+    def lab(cap: Long) =
+      DocQueries.dupLabels(spark, "/root/testdata/sf0.01", cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = lab(Long.MaxValue)
+    val dist = lab(0L)
+    assert(local.nonEmpty)
+    assert(local == dist,
+      s"branches disagree on the real graph: ${local.toSeq.sorted.diff(dist.toSeq.sorted).take(5)}")
+    info(s"${local.values.toSet.size} components over ${local.size} nodes at sf0.01")
   }
 }
