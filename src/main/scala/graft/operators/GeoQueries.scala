@@ -22,7 +22,7 @@ object GeoQueries {
   /** tile id column via the native first-match expression. */
   def tileCol = TileId.point(col("lon"), col("lat"), index).cast("long")
 
-  private val duckTile = Bbs.firstMatchPointSql(
+  private[graft] val duckTile = Bbs.firstMatchPointSql(
     rows, "CAST(lon AS BIGINT)", "CAST(lat AS BIGINT)", Bbs.duckdbDiv)
   private def fromImg = s"FROM ${ImageTable.duckSql()}"
 

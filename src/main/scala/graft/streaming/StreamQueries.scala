@@ -144,6 +144,28 @@ object StreamQueries {
         .select(col("v_user").as("user_id"), col("n_pairs"),
           col("first_click"), col("last_view"))
         .orderBy("user_id"))
+    },
+
+    // streaming tile assignment: the image-row derivation + the NATIVE
+    // codegen first-match tile expression (plans.TileId) running inside
+    // Structured Streaming micro-batches, aggregated per tile in complete
+    // mode — the geospatial core and the streaming surface composed. The
+    // oracle is the same batch derivation + first-match SQL the g_tile_*
+    // gates replay; streaming and batch must agree on the bounded input.
+    QueryDef.sql("s_stream_tile",
+      s"""SELECT tile, COUNT(*) AS n FROM
+         |  (SELECT CAST((${graft.operators.GeoQueries.duckTile}) AS BIGINT) AS tile
+         |   FROM ${graft.sources.ImageTable.duckSql()}) t
+         |GROUP BY tile ORDER BY tile""".stripMargin) { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      drain(s, "complete") { _ =>
+        graft.sources.ImageTable.derive(
+            s.readStream.schema(schema).parquet(staged(dir, "documents"))
+              .select(col("doc_id"), col("text"), col("lang")), mult = 1)
+          .select(graft.operators.GeoQueries.tileCol.as("tile"))
+          .groupBy("tile").agg(count(lit(1)).as("n"))
+          .writeStream
+      }(_.orderBy("tile"))
     }
   )
 }
