@@ -38,6 +38,14 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", parts)
+      // STATIC conf (first session in the JVM wins): the default generated-
+      // class cache is a 100-entry LRU; this bench interleaves ~12 query
+      // families (~150 distinct codegen units), so at the default size every
+      // round recompiles ~21 classes per entry (measured via
+      // SPARK_GRAFT_CODEGEN_STATS) — pure janino time that a single-family
+      // production job never pays. Sizing the cache to the working set is
+      // the standard knob on a real shared cluster too.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
