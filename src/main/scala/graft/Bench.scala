@@ -177,7 +177,13 @@ object Bench {
         // down to 0.1 deg so the output (~expected-pairs ∝ n^2 r^2) stays
         // bounded at bench density — the grid join cost is the candidate
         // generation, which this exercises at 9M probe rows
-        "dist_join_1m" -> (() => operators.GeoQueries.distJoin(img, 1000000L)))
+        "dist_join_1m" -> (() => operators.GeoQueries.distJoin(img, 1000000L)),
+        // many-polygon PIP join at 1M points x 96 polygons (the DataFrame
+        // polygon path, no bitmap cap): raw containment pairs, no agg
+        "pip_join_96" -> (() => operators.Pip.pipJoin(
+          img.select(col("image_id"), col("lon"), col("lat")),
+          operators.Pip.polyDf(spark, operators.Pip.manyPolygons),
+          operators.Pip.ManyCellSide)))
         .filter(e => keep(e._1))
     }
     val extraNames = extra.map(_._1)

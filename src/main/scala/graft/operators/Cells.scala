@@ -185,3 +185,90 @@ object HilbertCells {
     (face.toLong << 58) | (d << 5) | res.toLong
   }
 }
+
+/** Z-order (Morton) cells over the planar fixed-point domain: a 2^res x
+  * 2^res grid, cell id = bit-interleave of (cx, cy). Unlike the hex/Hilbert
+  * encoders this index exists for DATA LAYOUT: a table written sorted by
+  * the morton key keeps spatially-near rows in the same file / parquet row
+  * group, so a bbox query becomes a short list of contiguous key ranges
+  * whose column min/max statistics skip everything else — the standard
+  * z-order file-skipping design for a 100 TB geo table.
+  */
+object ZCells {
+  import graft.core.Geo
+  private val spanLon = Geo.MaxLon.toLong - Geo.MinLon
+  private val spanLat = Geo.MaxLat.toLong - Geo.MinLat
+
+  def cellX(lon: Int, res: Int): Int = {
+    val n = 1 << res
+    val i = ((lon.toLong - Geo.MinLon) * n / spanLon).toInt
+    if (i < 0) 0 else if (i >= n) n - 1 else i
+  }
+  def cellY(lat: Int, res: Int): Int = {
+    val n = 1 << res
+    val i = ((lat.toLong - Geo.MinLat) * n / spanLat).toInt
+    if (i < 0) 0 else if (i >= n) n - 1 else i
+  }
+
+  /** x in the even bits, y in the odd bits. */
+  def interleave(x: Int, y: Int): Long = {
+    var m = 0L
+    var i = 0
+    while (i < 31) {
+      m |= ((x.toLong >> i) & 1L) << (2 * i)
+      m |= ((y.toLong >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    m
+  }
+
+  def encode(lon: Int, lat: Int, res: Int): Long =
+    interleave(cellX(lon, res), cellY(lat, res))
+
+  /** Covering morton-id ranges of a planar bbox at `res`: quadtree descent
+    * emitting one contiguous range per fully-contained quadrant (a quadrant
+    * is a fixed bit prefix, so its subtree is the contiguous id interval
+    * [base, base + 4^depth - 1]) and recursing on partial overlap. Covers
+    * every cell INTERSECTING the bbox — candidates, with the exact bbox
+    * filter run after the range scan. `maxRanges` coarsens by merging the
+    * closest-gap neighbours (only ever ADDS cells, so completeness is
+    * preserved), bounding the predicate size a scan must evaluate.
+    */
+  def cover(minLon: Int, minLat: Int, maxLon: Int, maxLat: Int, res: Int,
+      maxRanges: Int = 64): Array[(Long, Long)] = {
+    require(res >= 1 && res <= 30 && maxRanges >= 1)
+    val x0 = cellX(minLon, res); val x1 = cellX(maxLon, res)
+    val y0 = cellY(minLat, res); val y1 = cellY(maxLat, res)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def rec(level: Int, qx: Int, qy: Int): Unit = {
+      val shift = res - level
+      val loX = qx << shift; val hiX = loX + (1 << shift) - 1
+      val loY = qy << shift; val hiY = loY + (1 << shift) - 1
+      if (hiX < x0 || loX > x1 || hiY < y0 || loY > y1) return // disjoint
+      if (loX >= x0 && hiX <= x1 && loY >= y0 && hiY <= y1) {
+        val base = interleave(loX, loY)
+        buf += ((base, base + (1L << (2 * shift)) - 1))
+        return
+      }
+      if (level == res) return // unreachable: a single cell is inside or disjoint
+      rec(level + 1, qx * 2, qy * 2); rec(level + 1, qx * 2 + 1, qy * 2)
+      rec(level + 1, qx * 2, qy * 2 + 1); rec(level + 1, qx * 2 + 1, qy * 2 + 1)
+    }
+    rec(0, 0, 0)
+    val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (r <- buf.sortBy(_._1))
+      if (merged.nonEmpty && merged.last._2 + 1 >= r._1)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, r._2))
+      else merged += r
+    while (merged.length > maxRanges) {
+      var best = 1; var bestGap = Long.MaxValue
+      for (i <- 1 until merged.length) {
+        val gap = merged(i)._1 - merged(i - 1)._2
+        if (gap < bestGap) { bestGap = gap; best = i }
+      }
+      merged(best - 1) = (merged(best - 1)._1, merged(best)._2)
+      merged.remove(best)
+    }
+    merged.toArray
+  }
+}

@@ -29,6 +29,11 @@ object GeoQueries {
   /** g_dist_join radius: 2.0 deg in the 1e-7 fixed-point planar space. */
   val DistR = 20000000L
 
+  /** g_zorder_scan fixture bbox (75 x 42 deg band) and morton resolution. */
+  val ZMinLon = -400000000; val ZMaxLon = 350000000
+  val ZMinLat = -100000000; val ZMaxLat = 320000000
+  val ZRes = 10
+
   /** Radius distance self-join — all image pairs within planar distance r,
     * the canonical spatial join besides point-in-polygon and kNN. Grid
     * blocking: each point lands in ONE cell of side r (truncating `div`,
@@ -154,6 +159,21 @@ object GeoQueries {
         .orderBy("image_id")
     },
 
+    // many-polygon PIP JOIN (see Pip.pipJoin): the polygon set is a
+    // DataFrame of 96 edge rings — above the 63-polygon bitmap cap of the
+    // g_pip mask path — blocked by grid cell and refined by the codegen
+    // ray-cast over array columns. Oracle: brute-force crossing-parity over
+    // the literal edge table (no blocking — disjoint algorithms).
+    QueryDef.sql("g_pip_join",
+      s"""WITH ${ImageTable.duckCte()}
+         |${Pip.pipJoinDuckSql("img")}""".stripMargin) { (s, dir) =>
+      Pip.pipJoin(
+        img(s, dir).select(col("image_id"), col("lon"), col("lat")),
+        Pip.polyDf(s, Pip.manyPolygons), Pip.ManyCellSide)
+        .select(col("image_id"), col("pid").cast("long").as("pid"))
+        .orderBy("image_id", "pid")
+    },
+
     QueryDef.sql("g_knn",
       s"""WITH pts AS (SELECT doc_id AS id, CAST(lon AS DOUBLE) AS x, CAST(lat AS DOUBLE) AS y
          |             ${fromImg}),
@@ -188,6 +208,25 @@ object GeoQueries {
       KnnHex(pts, qs, k = 5, res = KnnHex.adaptiveRes(pts.count(), 5))
         .select(col("qid"), col("rk"), col("pid"))
         .orderBy("qid", "rk")
+    },
+
+    // z-order layout scan: the bbox query served as morton-range candidates
+    // (ZCells.cover — the file-skipping key-range form a z-sorted 100 TB
+    // table uses) + the exact residual bbox filter. The oracle is the plain
+    // bbox predicate: completeness of the cover IS the thing under test.
+    QueryDef.sql("g_zorder_scan",
+      s"""SELECT image_id, CAST(lon AS BIGINT) AS lon, CAST(lat AS BIGINT) AS lat
+         |$fromImg
+         |WHERE lon BETWEEN $ZMinLon AND $ZMaxLon AND lat BETWEEN $ZMinLat AND $ZMaxLat
+         |ORDER BY image_id""".stripMargin) { (s, dir) =>
+      val ranges = ZCells.cover(ZMinLon, ZMinLat, ZMaxLon, ZMaxLat, ZRes)
+      val mz = graft.plans.CellId.morton(col("lon").cast("int"), col("lat").cast("int"), ZRes)
+      img(s, dir).withColumn("mz", mz)
+        .where(ranges.map { case (lo, hi) => col("mz").between(lo, hi) }.reduce(_ || _))
+        .where(col("lon").between(ZMinLon, ZMaxLon) && col("lat").between(ZMinLat, ZMaxLat))
+        .select(col("image_id"), col("lon").cast("long").as("lon"),
+          col("lat").cast("long").as("lat"))
+        .orderBy("image_id")
     },
 
     // the encoders are trig/Hilbert kernels DuckDB can't reproduce: the

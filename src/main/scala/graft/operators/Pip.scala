@@ -1,10 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import graft.core.{Bbox, Geo, PortableHash}
 
 /** A polygon prepared for repeated point-in-polygon tests: bbox pretest +
@@ -89,22 +91,74 @@ case class PipMaskExpr(left: Expression, right: Expression, set: PipSet)
     copy(left = l, right = r)
 }
 
+/** Ray-cast containment kernel over edge-list ARRAY COLUMNS — the refine of
+  * the many-polygon PIP JOIN, where the polygon set is a DataFrame column
+  * (no 63-polygon bitmap cap, no broadcast/driver structure). Exactly the
+  * crossing-parity rule of Geo.pointInPolygon (reference Point.java:19-36),
+  * reading ArrayData in place (no per-row heap-array copy). Top-level object
+  * (no companion class) so Scala emits static forwarders the generated Java
+  * can call directly.
+  */
+object PipKernels {
+  def contains(lon: Int, lat: Int, xs: ArrayData, ys: ArrayData): Boolean = {
+    var inside = false
+    var i = 0
+    val n = xs.numElements() - 1
+    while (i < n) {
+      val x1 = xs.getInt(i).toLong
+      val y1 = ys.getInt(i).toLong
+      val x2 = xs.getInt(i + 1).toLong
+      val y2 = ys.getInt(i + 1).toLong
+      // crossing iff (y1<=lat) == (lat<y2); Java truncating long division
+      if (y1 != y2 && ((y1 <= lat) == (lat < y2)) &&
+          x1 + (x2 - x1) * (lat - y1) / (y2 - y1) < lon)
+        inside = !inside
+      i += 1
+    }
+    inside
+  }
+}
+
+/** `pip_contains(lon, lat, lons, lats)` — codegen containment test of a
+  * point against an edge-list ring carried in array columns.
+  */
+case class PipContainsExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "pip_contains"
+  override def nullSafeEval(lon: Any, lat: Any, xs: Any, ys: Any): Any =
+    PipKernels.contains(lon.asInstanceOf[Int], lat.asInstanceOf[Int],
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, xs, ys) =>
+      s"graft.operators.PipKernels.contains($lon, $lat, $xs, $ys)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object Pip {
   def mask(lon: Column, lat: Column, set: PipSet): Column =
     GraftColumnBridge.column(PipMaskExpr(
       GraftColumnBridge.expression(lon), GraftColumnBridge.expression(lat), set))
 
-  /** The fixture polygon set: deterministic star-shaped polygons (no
-    * self-intersection) whose literal vertices are embedded in both the
-    * engine and the oracle SQL — generation happens once, in Scala.
+  def contains(lon: Column, lat: Column, lons: Column, lats: Column): Column =
+    GraftColumnBridge.column(PipContainsExpr(
+      GraftColumnBridge.expression(lon), GraftColumnBridge.expression(lat),
+      GraftColumnBridge.expression(lons), GraftColumnBridge.expression(lats)))
+
+  /** Deterministic star-shaped polygons (no self-intersection): vertices on
+    * a hash-jittered radius around a hash-placed center, closed ring. The
+    * literal vertices are embedded in both the engine and the oracle SQL —
+    * generation happens once, in Scala.
     */
-  lazy val fixturePolygons: Array[PreparedPolygon] = (0 until 5).map { pid =>
-    val cLon = (PortableHash.h60(s"poly:$pid:lon") % 2400000001L - 1200000000L).toInt
-    val cLat = (PortableHash.h60(s"poly:$pid:lat") % 1200000001L - 600000000L).toInt
-    val n = 7 + pid
-    val base = 150000000.0
+  private def starPolygons(count: Int, seed: String, base: Double,
+      nOf: Int => Int): Array[PreparedPolygon] = (0 until count).map { pid =>
+    val cLon = (PortableHash.h60(s"$seed:$pid:lon") % 2400000001L - 1200000000L).toInt
+    val cLat = (PortableHash.h60(s"$seed:$pid:lat") % 1200000001L - 600000000L).toInt
+    val n = nOf(pid)
     val pts = (0 until n).map { i =>
-      val r = base * (0.5 + (PortableHash.h60(s"poly:$pid:r:$i") % 1000) / 1000.0)
+      val r = base * (0.5 + (PortableHash.h60(s"$seed:$pid:r:$i") % 1000) / 1000.0)
       val a = 2.0 * math.Pi * i / n
       ((cLon + r * math.cos(a)).toInt, (cLat + 0.5 * r * math.sin(a)).toInt)
     }
@@ -112,7 +166,84 @@ object Pip {
     PreparedPolygon(pid, ring.map(_._1).toArray, ring.map(_._2).toArray)
   }.toArray
 
+  /** The fixture polygon set of the bitmask path (g_pip). */
+  lazy val fixturePolygons: Array[PreparedPolygon] =
+    starPolygons(5, "poly", 150000000.0, pid => 7 + pid)
+
   lazy val fixtureSet: PipSet = new PipSet(fixturePolygons)
+
+  /** 96 deterministic polygons — deliberately ABOVE the 63-polygon bitmap
+    * cap of PipSet, so only the join path can serve them. Smaller radius
+    * (~6 deg) keeps each polygon's covered-cell fan-out small relative to
+    * [[ManyCellSide]].
+    */
+  lazy val manyPolygons: Array[PreparedPolygon] =
+    starPolygons(96, "mpoly", 60000000.0, pid => 7 + pid % 9)
+
+  /** Grid cell side of the many-polygon join: 10 deg in 1e-7 fixed point —
+    * a few polygon bboxes per cell, 24x12 cells over the planar domain.
+    */
+  val ManyCellSide = 100000000L
+
+  def polyDf(spark: SparkSession, polys: Array[PreparedPolygon]): DataFrame = {
+    import spark.implicits._
+    polys.toSeq.map(p => (p.id, p.lon.toSeq, p.lat.toSeq)).toDF("pid", "lons", "lats")
+  }
+
+  /** Many-polygon PIP JOIN — (point id, polygon id) pairs for every polygon
+    * containing the point. The polygon side is a DATAFRAME of closed edge
+    * rings: no bitmap cap, no driver-resident index, no broadcast
+    * requirement — at 10^6 polygons the build side shuffles like any table.
+    * Blocking mirrors distJoin: each point maps to ONE cell (truncating
+    * `div` = DuckDB `//`; trunc division is monotone, so the polygon's
+    * [min div C .. max div C] range covers every cell a contained point can
+    * map to), the polygon side explodes to its bbox-covered cells (fan-out
+    * bounded by polygon size / cell size), candidates meet in a shuffle
+    * EQUI-join on (cx, cy), and the codegen ray-cast refine runs only on
+    * same-cell candidates. A point lives in exactly one cell, so no pair is
+    * emitted twice. At 100 TB: the 10^12-row point side never fans out,
+    * per-cell work tracks local polygon density, and dense metro cells
+    * split under AQE skew handling.
+    */
+  def pipJoin(points: DataFrame, polys: DataFrame, cellSide: Long): DataFrame = {
+    val pol = polys
+      .withColumn("cx", explode(sequence(
+        expr(s"array_min(lons) div ${cellSide}L"),
+        expr(s"array_max(lons) div ${cellSide}L"))))
+      .withColumn("cy", explode(sequence(
+        expr(s"array_min(lats) div ${cellSide}L"),
+        expr(s"array_max(lats) div ${cellSide}L"))))
+    val pts = points
+      .withColumn("cx", expr(s"cast(lon as long) div ${cellSide}L"))
+      .withColumn("cy", expr(s"cast(lat as long) div ${cellSide}L"))
+    pts.join(pol, Seq("cx", "cy"))
+      .filter(Pip.contains(col("lon").cast("int"), col("lat").cast("int"),
+        col("lons"), col("lats")))
+      .drop("cx", "cy", "lons", "lats")
+  }
+
+  /** DuckDB oracle of the many-polygon join: brute-force crossing-parity
+    * over a literal edge table (no blocking — engine and oracle share no
+    * algorithm beyond the parity rule itself).
+    */
+  def pipJoinDuckSql(fromImg: String): String = {
+    val edges = manyPolygons.flatMap { p =>
+      (0 until p.lon.length - 1).map { i =>
+        s"(${p.id}, ${p.lon(i)}, ${p.lat(i)}, ${p.lon(i + 1)}, ${p.lat(i + 1)})"
+      }
+    }.mkString(", ")
+    val truncDiv = "((CAST(e.x2 AS BIGINT)-e.x1)*(CAST(p.lat AS BIGINT)-e.y1) // (CAST(e.y2 AS BIGINT)-e.y1))"
+    s"""SELECT image_id, CAST(pid AS BIGINT) AS pid FROM (
+       |  SELECT p.image_id, e.pid, COUNT(*) AS cr
+       |  FROM $fromImg p
+       |  JOIN (SELECT * FROM (VALUES $edges) AS t(pid, x1, y1, x2, y2)) e
+       |    ON e.y1 <> e.y2
+       |   AND ((e.y1 <= p.lat) = (p.lat < e.y2))
+       |   AND e.x1 + $truncDiv < p.lon
+       |  GROUP BY p.image_id, e.pid) c
+       |WHERE cr % 2 = 1
+       |ORDER BY image_id, pid""".stripMargin
+  }
 
   /** DuckDB SQL computing the same containment bitmask for (lon, lat)
     * columns of relation alias `p`, via crossing-parity aggregation over a

@@ -69,9 +69,33 @@ case class HexProbes(left: Expression, right: Expression, res: Int, maxD: Int)
     copy(left = l, right = r)
 }
 
+/** Z-order (Morton) cell id — the data-layout key (graft.operators.ZCells):
+  * rows sorted by it cluster spatially, and a bbox scan reduces to a few
+  * contiguous id ranges.
+  */
+case class MortonCellId(left: Expression, right: Expression, res: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "morton_cell_id"
+
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    graft.operators.ZCells.encode(lon.asInstanceOf[Int], lat.asInstanceOf[Int], res)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"graft.operators.ZCells.encode($lon, $lat, $res)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object CellId {
   def hex(lon: Column, lat: Column, res: Int): Column =
     GraftColumnBridge.column(HexCellId(
+      GraftColumnBridge.expression(lon), GraftColumnBridge.expression(lat), res))
+
+  def morton(lon: Column, lat: Column, res: Int): Column =
+    GraftColumnBridge.column(MortonCellId(
       GraftColumnBridge.expression(lon), GraftColumnBridge.expression(lat), res))
 
   def hilbert(lon: Column, lat: Column, res: Int): Column =

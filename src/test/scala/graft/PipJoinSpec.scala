@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Geo
+import graft.operators.{Pip, PipKernels, PreparedPolygon}
+
+/** Exactness of the grid-blocked many-polygon PIP join: every (point,
+  * polygon) containment pair is found (the bbox-covered-cell explode is
+  * complete under truncating division, including negative and
+  * zero-straddling cells), the parity kernel over ArrayData matches
+  * Geo.pointInPolygon over heap arrays bit-for-bit, sets beyond the
+  * 63-polygon bitmap cap are served, and the plan never degenerates to a
+  * cartesian/nested-loop join.
+  */
+class PipJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(pts: Seq[(String, Int, Int)], polys: Array[PreparedPolygon],
+      cell: Long): Set[(String, Int)] = {
+    import spark.implicits._
+    Pip.pipJoin(pts.toDF("image_id", "lon", "lat"), Pip.polyDf(spark, polys), cell)
+      .select("image_id", "pid")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+  }
+
+  private def brute(pts: Seq[(String, Int, Int)],
+      polys: Array[PreparedPolygon]): Set[(String, Int)] =
+    (for {
+      (id, x, y) <- pts; p <- polys
+      if Geo.pointInPolygon(x, y, p.lon, p.lat)
+    } yield (id, p.id)).toSet
+
+  private def square(pid: Int, x0: Int, y0: Int, x1: Int, y1: Int) =
+    PreparedPolygon(pid,
+      Array(x0, x1, x1, x0, x0), Array(y0, y0, y1, y1, y0))
+
+  test("planted cases: interior, parity edges, cross-cell, negative cells") {
+    val polys = Array(
+      square(0, -500, -500, 500, 500),        // straddles the origin cell seam
+      square(1, 900, 900, 2100, 2100),        // spans cells 0..2 at cell=1000
+      square(2, -2100, -2100, -900, -900))    // negative cells
+    val pts = Seq(
+      ("in0", 0, 0), ("in1", 499, 499),
+      ("edge_w", -500, 0),                    // west edge: ray rule includes
+      ("edge_e", 500, 0),                     // east edge: excluded (strict <)
+      ("out0", 501, 0), ("out1", 0, 501),
+      ("in2", 1000, 1000), ("in3", 2000, 2000),
+      ("neg", -1000, -1000), ("negout", -2200, -1000))
+    val got = run(pts, polys, 1000L)
+    val want = brute(pts, polys)
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(got.contains(("in0", 0)) && got.contains(("in2", 1)) && got.contains(("neg", 2)))
+    assert(!got.exists(_._1 == "out0") && !got.exists(_._1 == "negout"))
+  }
+
+  test("fuzz: join equals brute force over the 96-polygon fixture set") {
+    // hash-scattered points over the full planar domain; the fixture
+    // polygons cover ~20% of it, so hits and misses both participate
+    val pts = (0 until 400).map { i =>
+      val lon = (core.PortableHash.h60(s"pjx:$i") % 2400000001L - 1200000000L).toInt
+      val lat = (core.PortableHash.h60(s"pjy:$i") % 1200000001L - 600000000L).toInt
+      (f"p$i%03d", lon, lat)
+    }
+    val got = run(pts, Pip.manyPolygons, Pip.ManyCellSide)
+    val want = brute(pts, Pip.manyPolygons)
+    assert(want.nonEmpty, "degenerate fixture: no containment pairs")
+    assert(Pip.manyPolygons.length > 63, "set must exceed the bitmap cap")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("ArrayData kernel == heap-array kernel on every fixture polygon") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (p <- Pip.manyPolygons; i <- 0 until 50) {
+      val x = (core.PortableHash.h60(s"k:$i:${p.id}:x") % 600000001L - 300000000L).toInt +
+        (p.bbox.minLon / 2 + p.bbox.maxLon / 2)
+      val y = (core.PortableHash.h60(s"k:$i:${p.id}:y") % 300000001L - 150000000L).toInt +
+        (p.bbox.minLat / 2 + p.bbox.maxLat / 2)
+      assert(
+        PipKernels.contains(x, y, ArrayData.toArrayData(p.lon), ArrayData.toArrayData(p.lat)) ==
+          Geo.pointInPolygon(x, y, p.lon, p.lat), s"poly ${p.id} point ($x,$y)")
+    }
+  }
+
+  test("plan: shuffle equi-join on the cell key, no cartesian/BNLJ") {
+    import spark.implicits._
+    val df = Pip.pipJoin(
+      (0 until 50).map(i => (s"q$i", i * 7, i * 3)).toDF("image_id", "lon", "lat"),
+      Pip.polyDf(spark, Pip.manyPolygons), Pip.ManyCellSide)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+}
