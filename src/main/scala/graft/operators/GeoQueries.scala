@@ -210,6 +210,16 @@ object GeoQueries {
         .orderBy("qid", "rk")
     },
 
+    // polygon-overlap self-join (see Pip.polyOverlapJoin): canonical-cell
+    // blocked equi-join + codegen ring-ring intersection vs the all-pairs
+    // HUGEINT orientation oracle. Constant fixture set (96 literal rings
+    // embedded on both sides — the FrozenOracles precedent), so the result
+    // is scale-invariant by construction.
+    QueryDef.sql("g_poly_overlap", Pip.polyOverlapDuckSql()) { (s, dir) =>
+      Pip.polyOverlapJoin(Pip.polyDf(s, Pip.manyPolygons), Pip.ManyCellSide)
+        .orderBy("pid_a", "pid_b")
+    },
+
     // z-order layout scan: the bbox query served as morton-range candidates
     // (ZCells.cover — the file-skipping key-range form a z-sorted 100 TB
     // table uses) + the exact residual bbox filter. The oracle is the plain

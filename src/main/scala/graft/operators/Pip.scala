@@ -100,6 +100,63 @@ case class PipMaskExpr(left: Expression, right: Expression, set: PipSet)
   * can call directly.
   */
 object PipKernels {
+
+  /** Sign of the cross product (b-a) x (c-a). Caller contract: the three
+    * points are blocking-local (deltas < ~1.5e9), so each product stays
+    * under ~7e17 and the difference under Long overflow; the DuckDB oracle
+    * computes the same quantity in HUGEINT, so any violation would surface
+    * as a gate mismatch, not silent corruption.
+    */
+  private def orientSign(ax: Long, ay: Long, bx: Long, by: Long,
+      cx: Long, cy: Long): Int = {
+    val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    if (v > 0) 1 else if (v < 0) -1 else 0
+  }
+
+  private def between(v: Long, a: Long, b: Long): Boolean =
+    v >= math.min(a, b) && v <= math.max(a, b)
+
+  /** Segment AB touches/crosses segment CD: proper crossing (strict
+    * opposite orientation signs on both sides) or an endpoint lying on the
+    * other segment (orientation 0 + bbox). The exact rule the oracle SQL
+    * replays.
+    */
+  def segTouch(ax: Long, ay: Long, bx: Long, by: Long,
+      cx: Long, cy: Long, dx: Long, dy: Long): Boolean = {
+    val o1 = orientSign(ax, ay, bx, by, cx, cy)
+    val o2 = orientSign(ax, ay, bx, by, dx, dy)
+    val o3 = orientSign(cx, cy, dx, dy, ax, ay)
+    val o4 = orientSign(cx, cy, dx, dy, bx, by)
+    (o1 * o2 < 0 && o3 * o4 < 0) ||
+      (o1 == 0 && between(cx, ax, bx) && between(cy, ay, by)) ||
+      (o2 == 0 && between(dx, ax, bx) && between(dy, ay, by)) ||
+      (o3 == 0 && between(ax, cx, dx) && between(ay, cy, dy)) ||
+      (o4 == 0 && between(bx, cx, dx) && between(by, cy, dy))
+  }
+
+  /** Two closed rings intersect: a boundary pair touches, or one ring's
+    * first vertex lies inside the other (covers full containment — if no
+    * boundaries touch and A ⊂ B then every vertex of A is inside B).
+    */
+  def polyIntersects(xa: ArrayData, ya: ArrayData,
+      xb: ArrayData, yb: ArrayData): Boolean = {
+    val na = xa.numElements() - 1
+    val nb = xb.numElements() - 1
+    var i = 0
+    while (i < na) {
+      var j = 0
+      while (j < nb) {
+        if (segTouch(xa.getInt(i), ya.getInt(i), xa.getInt(i + 1), ya.getInt(i + 1),
+            xb.getInt(j), yb.getInt(j), xb.getInt(j + 1), yb.getInt(j + 1)))
+          return true
+        j += 1
+      }
+      i += 1
+    }
+    contains(xb.getInt(0), yb.getInt(0), xa, ya) ||
+      contains(xa.getInt(0), ya.getInt(0), xb, yb)
+  }
+
   def contains(lon: Int, lat: Int, xs: ArrayData, ys: ArrayData): Boolean = {
     var inside = false
     var i = 0
@@ -132,6 +189,24 @@ case class PipContainsExpr(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (lon, lat, xs, ys) =>
       s"graft.operators.PipKernels.contains($lon, $lat, $xs, $ys)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** `poly_intersects(lonsA, latsA, lonsB, latsB)` — codegen ring-ring
+  * intersection test (boundary touch or containment either way).
+  */
+case class PolyIntersectsExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "poly_intersects"
+  override def nullSafeEval(xa: Any, ya: Any, xb: Any, yb: Any): Any =
+    PipKernels.polyIntersects(xa.asInstanceOf[ArrayData], ya.asInstanceOf[ArrayData],
+      xb.asInstanceOf[ArrayData], yb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xa, ya, xb, yb) =>
+      s"graft.operators.PipKernels.polyIntersects($xa, $ya, $xb, $yb)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
@@ -220,6 +295,96 @@ object Pip {
       .filter(Pip.contains(col("lon").cast("int"), col("lat").cast("int"),
         col("lons"), col("lats")))
       .drop("cx", "cy", "lons", "lats")
+  }
+
+  def intersects(lonsA: Column, latsA: Column, lonsB: Column, latsB: Column): Column =
+    GraftColumnBridge.column(PolyIntersectsExpr(
+      GraftColumnBridge.expression(lonsA), GraftColumnBridge.expression(latsA),
+      GraftColumnBridge.expression(lonsB), GraftColumnBridge.expression(latsB)))
+
+  /** Polygon-overlap SELF-join — all pairs of intersecting polygons
+    * (boundary touch or containment either way). With distJoin
+    * (point-point) and pipJoin (point-polygon) this completes the spatial
+    * join trio. Blocking: both sides explode to bbox-covered cells, pairs
+    * meet in a shuffle EQUI-join on (cx, cy); because a pair can share
+    * MANY cells, it is emitted only from its canonical cell — the min
+    * corner of the two bbox cell-ranges' intersection, computable per row
+    * (both polygons cover their full bbox range, so that cell is always
+    * common) — no dedup shuffle. The codegen refine tests boundary
+    * touches exactly (integer orientation signs) plus first-vertex
+    * containment. At 10^6 polygons: fan-out bounded by polygon size /
+    * cell size, per-cell work tracks local overlap density, never a
+    * cartesian.
+    */
+  def polyOverlapJoin(polys: DataFrame, cellSide: Long): DataFrame = {
+    def side(p: String) = polys.select(
+      col("pid").as(s"pid_$p"), col("lons").as(s"lons_$p"), col("lats").as(s"lats_$p"),
+      expr(s"array_min(lons) div ${cellSide}L").as(s"minx_$p"),
+      expr(s"array_max(lons) div ${cellSide}L").as(s"maxx_$p"),
+      expr(s"array_min(lats) div ${cellSide}L").as(s"miny_$p"),
+      expr(s"array_max(lats) div ${cellSide}L").as(s"maxy_$p"))
+      .withColumn("cx", explode(sequence(col(s"minx_$p"), col(s"maxx_$p"))))
+      .withColumn("cy", explode(sequence(col(s"miny_$p"), col(s"maxy_$p"))))
+      .drop(s"maxx_$p", s"maxy_$p")
+    side("a").join(side("b"), Seq("cx", "cy"))
+      .filter(col("pid_a") < col("pid_b"))
+      .filter(col("cx") === greatest(col("minx_a"), col("minx_b")) &&
+        col("cy") === greatest(col("miny_a"), col("miny_b")))
+      .filter(intersects(col("lons_a"), col("lats_a"), col("lons_b"), col("lats_b")))
+      .select(col("pid_a").cast("long").as("pid_a"), col("pid_b").cast("long").as("pid_b"))
+  }
+
+  /** DuckDB oracle of the polygon-overlap self-join: all-pairs edge-touch
+    * test (HUGEINT orientation cross products, the engine's exact rule)
+    * UNION first-vertex crossing-parity containment — no blocking, no
+    * shared algorithm shape.
+    */
+  def polyOverlapDuckSql(): String = {
+    val edges = manyPolygons.flatMap { p =>
+      (0 until p.lon.length - 1).map { i =>
+        s"(${p.id}, ${p.lon(i)}, ${p.lat(i)}, ${p.lon(i + 1)}, ${p.lat(i + 1)})"
+      }
+    }.mkString(", ")
+    val verts = manyPolygons.map(p => s"(${p.id}, ${p.lon(0)}, ${p.lat(0)})").mkString(", ")
+    val truncDiv = "((CAST(e.x2 AS BIGINT)-e.x1)*(CAST(v.vy AS BIGINT)-e.y1) // (CAST(e.y2 AS BIGINT)-e.y1))"
+    // every coordinate difference is widened BEFORE subtraction (DuckDB
+    // VALUES columns are INT32; planar deltas can reach 2.9e9)
+    def d(p: String, q: String) = s"(CAST($p AS HUGEINT)-$q)"
+    val o1 = s"${d("a.x2", "a.x1")}*${d("b.y1", "a.y1")} - ${d("a.y2", "a.y1")}*${d("b.x1", "a.x1")}"
+    val o2 = s"${d("a.x2", "a.x1")}*${d("b.y2", "a.y1")} - ${d("a.y2", "a.y1")}*${d("b.x2", "a.x1")}"
+    val o3 = s"${d("b.x2", "b.x1")}*${d("a.y1", "b.y1")} - ${d("b.y2", "b.y1")}*${d("a.x1", "b.x1")}"
+    val o4 = s"${d("b.x2", "b.x1")}*${d("a.y2", "b.y1")} - ${d("b.y2", "b.y1")}*${d("a.x2", "b.x1")}"
+    s"""WITH e AS (SELECT * FROM (VALUES $edges) AS t(pid, x1, y1, x2, y2)),
+       |v AS (SELECT * FROM (VALUES $verts) AS t(pid, vx, vy)),
+       |o AS (
+       |  SELECT a.pid AS pa, b.pid AS pb,
+       |    $o1 AS o1,
+       |    $o2 AS o2,
+       |    $o3 AS o3,
+       |    $o4 AS o4,
+       |    a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+       |    b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+       |  FROM e a JOIN e b ON a.pid < b.pid),
+       |touch AS (
+       |  SELECT DISTINCT pa, pb FROM o
+       |  WHERE (o1*o2 < 0 AND o3*o4 < 0)
+       |     OR (o1 = 0 AND bx1 BETWEEN LEAST(ax1,ax2) AND GREATEST(ax1,ax2)
+       |               AND by1 BETWEEN LEAST(ay1,ay2) AND GREATEST(ay1,ay2))
+       |     OR (o2 = 0 AND bx2 BETWEEN LEAST(ax1,ax2) AND GREATEST(ax1,ax2)
+       |               AND by2 BETWEEN LEAST(ay1,ay2) AND GREATEST(ay1,ay2))
+       |     OR (o3 = 0 AND ax1 BETWEEN LEAST(bx1,bx2) AND GREATEST(bx1,bx2)
+       |               AND ay1 BETWEEN LEAST(by1,by2) AND GREATEST(by1,by2))
+       |     OR (o4 = 0 AND ax2 BETWEEN LEAST(bx1,bx2) AND GREATEST(bx1,bx2)
+       |               AND ay2 BETWEEN LEAST(by1,by2) AND GREATEST(by1,by2))),
+       |cont AS (
+       |  SELECT LEAST(v.pid, e.pid) AS pa, GREATEST(v.pid, e.pid) AS pb
+       |  FROM v JOIN e ON e.pid <> v.pid
+       |   AND e.y1 <> e.y2 AND ((e.y1 <= v.vy) = (v.vy < e.y2))
+       |   AND e.x1 + $truncDiv < v.vx
+       |  GROUP BY v.pid, e.pid HAVING COUNT(*) % 2 = 1)
+       |SELECT DISTINCT CAST(pa AS BIGINT) AS pid_a, CAST(pb AS BIGINT) AS pid_b
+       |FROM (SELECT pa, pb FROM touch UNION ALL SELECT pa, pb FROM cont) u
+       |ORDER BY pid_a, pid_b""".stripMargin
   }
 
   /** DuckDB oracle of the many-polygon join: brute-force crossing-parity

@@ -89,6 +89,47 @@ class PipJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("segTouch: proper cross, endpoint touch, collinear overlap/disjoint") {
+    import PipKernels.segTouch
+    assert(segTouch(0, 0, 10, 10, 0, 10, 10, 0))      // proper X crossing
+    assert(segTouch(0, 0, 10, 0, 10, 0, 20, 5))       // endpoint-on-endpoint
+    assert(segTouch(0, 0, 10, 0, 5, 0, 5, 7))         // T-touch mid-segment
+    assert(segTouch(0, 0, 10, 0, 3, 0, 7, 0))         // collinear overlapping
+    assert(!segTouch(0, 0, 10, 0, 11, 0, 20, 0))      // collinear disjoint
+    assert(!segTouch(0, 0, 10, 0, 0, 1, 10, 1))       // parallel offset
+    assert(!segTouch(0, 0, 10, 10, 9, 20, 20, 9))     // near miss
+  }
+
+  test("polyOverlapJoin: planted overlap/containment/touch/disjoint + fuzz vs brute") {
+    val polys = Array(
+      square(0, 0, 0, 1000, 1000),
+      square(1, 500, 500, 1500, 1500),     // overlaps 0
+      square(2, 100, 100, 200, 200),       // contained in 0
+      square(3, 1000, 0, 2000, -1000),     // touches 0 at corner (1000,0)
+      square(4, 5000, 5000, 6000, 6000))   // disjoint from all
+    import spark.implicits._
+    def runOv(ps: Array[PreparedPolygon], cell: Long): Set[(Long, Long)] =
+      Pip.polyOverlapJoin(Pip.polyDf(spark, ps), cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = runOv(polys, 700L)
+    assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L)), got.toString)
+
+    // fuzz: blocking completeness — same kernel, all-pairs, no blocking
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def bruteOv(ps: Array[PreparedPolygon]): Set[(Long, Long)] =
+      (for {
+        a <- ps; b <- ps if a.id < b.id
+        if PipKernels.polyIntersects(
+          ArrayData.toArrayData(a.lon), ArrayData.toArrayData(a.lat),
+          ArrayData.toArrayData(b.lon), ArrayData.toArrayData(b.lat))
+      } yield (a.id.toLong, b.id.toLong)).toSet
+    val want = bruteOv(Pip.manyPolygons)
+    val gotMany = runOv(Pip.manyPolygons, Pip.ManyCellSide)
+    assert(want.nonEmpty, "degenerate fixture: no overlapping pairs")
+    assert(gotMany == want,
+      s"missing=${(want -- gotMany).take(5)} extra=${(gotMany -- want).take(5)}")
+  }
+
   test("plan: shuffle equi-join on the cell key, no cartesian/BNLJ") {
     import spark.implicits._
     val df = Pip.pipJoin(
