@@ -166,6 +166,26 @@ object StreamQueries {
           .groupBy("tile").agg(count(lit(1)).as("n"))
           .writeStream
       }(_.orderBy("tile"))
+    },
+
+    // streaming geofence: the codegen point-in-polygon mask running inside
+    // micro-batches, per-mask populations in complete mode — the second
+    // geo-core x streaming composition (tile assignment above).
+    QueryDef.sql("s_stream_pip",
+      s"""WITH ${graft.sources.ImageTable.duckCte()}
+         |SELECT mask, COUNT(*) AS n
+         |FROM ${graft.operators.Pip.maskDuckSql()} m
+         |GROUP BY mask ORDER BY mask""".stripMargin) { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      drain(s, "complete") { _ =>
+        graft.sources.ImageTable.derive(
+            s.readStream.schema(schema).parquet(staged(dir, "documents"))
+              .select(col("doc_id"), col("text"), col("lang")), mult = 1)
+          .select(graft.operators.Pip.mask(col("lon"), col("lat"),
+            graft.operators.Pip.fixtureSet).as("mask"))
+          .groupBy("mask").agg(count(lit(1)).as("n"))
+          .writeStream
+      }(_.orderBy("mask"))
     }
   )
 }
