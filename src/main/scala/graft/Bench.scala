@@ -289,7 +289,8 @@ object Bench {
       operators.Knn.certStats(pts, q, 3, operators.Knn.adaptiveCellSize(nRows, 3))
     }.getOrElse((-1L, -1L))
 
-    val tileSec = mins.head._2
+    // under SPARK_GRAFT_ONLY the headline list can be empty (extras-only run)
+    val tileSec = mins.headOption.map(_._2).getOrElse(-1.0)
     val qJson = mins.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val repJson = (names ++ extraNames).map { n =>
       s""""$n":[${times(n).reverse.map(t => f"$t%.3f").mkString(",")}]"""

@@ -265,36 +265,64 @@ object Pip {
     polys.toSeq.map(p => (p.id, p.lon.toSeq, p.lat.toSeq)).toDF("pid", "lons", "lats")
   }
 
+  /** Polygons annotated with their grid LEVEL and exploded to the covered
+    * cells at that level. lvl = smallest L with baseCell·2^L ≥ the bbox
+    * span, so every polygon covers a BOUNDED number of cells (≤ 2 per axis
+    * at exact level; ≤ 3 if the float log underestimates — benign, the
+    * sequence() range still covers). This is what keeps the join safe for
+    * heterogeneous polygon sets: a continent-sized ring registers in ≤ 9
+    * coarse cells instead of fanning out to (span/cell)² fine ones.
+    */
+  private[graft] def polyCells(polys: DataFrame, baseCell: Long): DataFrame =
+    polys
+      .withColumn("spanMax", greatest(
+        expr("cast(array_max(lons) as long) - array_min(lons)"),
+        expr("cast(array_max(lats) as long) - array_min(lats)"), lit(1L)))
+      .withColumn("lvl", greatest(lit(0),
+        ceil(log(2.0, col("spanMax").cast("double") / baseCell)).cast("int")))
+      .withColumn("side", expr(s"shiftleft(${baseCell}L, lvl)"))
+      .withColumn("cx", explode(sequence(
+        expr("array_min(lons) div side"),
+        expr("array_max(lons) div side"))))
+      .withColumn("cy", explode(sequence(
+        expr("array_min(lats) div side"),
+        expr("array_max(lats) div side"))))
+      .drop("spanMax", "side")
+
   /** Many-polygon PIP JOIN — (point id, polygon id) pairs for every polygon
     * containing the point. The polygon side is a DATAFRAME of closed edge
     * rings: no bitmap cap, no driver-resident index, no broadcast
     * requirement — at 10^6 polygons the build side shuffles like any table.
-    * Blocking mirrors distJoin: each point maps to ONE cell (truncating
-    * `div` = DuckDB `//`; trunc division is monotone, so the polygon's
-    * [min div C .. max div C] range covers every cell a contained point can
-    * map to), the polygon side explodes to its bbox-covered cells (fan-out
-    * bounded by polygon size / cell size), candidates meet in a shuffle
-    * EQUI-join on (cx, cy), and the codegen ray-cast refine runs only on
-    * same-cell candidates. A point lives in exactly one cell, so no pair is
-    * emitted twice. At 100 TB: the 10^12-row point side never fans out,
-    * per-cell work tracks local polygon density, and dense metro cells
-    * split under AQE skew handling.
+    *
+    * Hierarchical grid blocking: each polygon registers at the level
+    * matching ITS OWN size (≤ 9 cells, see [[polyCells]]); each point maps
+    * to ONE cell per DISTINCT LEVEL present in the polygon set (a tiny
+    * broadcast — fan-out = number of distinct levels, ≤ ~32 ever), and
+    * candidates meet in a shuffle EQUI-join on (lvl, cx, cy). Truncating
+    * `div` (= DuckDB `//`) is monotone, so a polygon's cell range covers
+    * every cell a contained point can map to at that level; a point has
+    * exactly one cell per level, so no pair is emitted twice. The codegen
+    * ray-cast refine runs only on same-cell candidates. At 100 TB: the
+    * 10^12-row point side fans out only by the level count, per-cell work
+    * tracks local polygon density, dense metro cells split under AQE skew
+    * handling, and no polygon — however large — can degenerate the
+    * explode.
     */
-  def pipJoin(points: DataFrame, polys: DataFrame, cellSide: Long): DataFrame = {
-    val pol = polys
-      .withColumn("cx", explode(sequence(
-        expr(s"array_min(lons) div ${cellSide}L"),
-        expr(s"array_max(lons) div ${cellSide}L"))))
-      .withColumn("cy", explode(sequence(
-        expr(s"array_min(lats) div ${cellSide}L"),
-        expr(s"array_max(lats) div ${cellSide}L"))))
+  def pipJoin(points: DataFrame, polys: DataFrame, baseCell: Long): DataFrame = {
+    val pol = polyCells(polys, baseCell)
+    // the level fan-out is a deliberate broadcast nested loop over a
+    // bounded tiny build side (<= ~32 distinct levels can ever exist);
+    // the CANDIDATE join below stays a (lvl, cx, cy) equi-join —
+    // PipJoinSpec pins both plan shapes
+    val levels = pol.select("lvl").distinct()
     val pts = points
-      .withColumn("cx", expr(s"cast(lon as long) div ${cellSide}L"))
-      .withColumn("cy", expr(s"cast(lat as long) div ${cellSide}L"))
-    pts.join(pol, Seq("cx", "cy"))
+      .join(broadcast(levels))
+      .withColumn("cx", expr(s"cast(lon as long) div shiftleft(${baseCell}L, lvl)"))
+      .withColumn("cy", expr(s"cast(lat as long) div shiftleft(${baseCell}L, lvl)"))
+    pts.join(pol, Seq("lvl", "cx", "cy"))
       .filter(Pip.contains(col("lon").cast("int"), col("lat").cast("int"),
         col("lons"), col("lats")))
-      .drop("cx", "cy", "lons", "lats")
+      .drop("lvl", "cx", "cy", "lons", "lats")
   }
 
   def intersects(lonsA: Column, latsA: Column, lonsB: Column, latsB: Column): Column =

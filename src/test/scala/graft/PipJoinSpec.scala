@@ -89,6 +89,26 @@ class PipJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical grid: a continent-sized polygon cannot degenerate the explode") {
+    // one giant ring (2M x 2M) over tiny base cells (side 1000): the flat
+    // grid would register it in 2000^2 = 4M cells; the level-aware explode
+    // keeps every polygon at <= 9 cells of its OWN level
+    val polys = Array(
+      square(0, -1000000, -1000000, 1000000, 1000000),
+      square(1, 10, 10, 400, 400),
+      square(2, -900, -900, -400, -400),
+      square(3, 2000000, 2000000, 2000500, 2000500)) // outside the giant
+    val cellRows = Pip.polyCells(Pip.polyDf(spark, polys), 1000L).count()
+    assert(cellRows <= 9L * polys.length, s"fan-out $cellRows")
+    val pts = Seq(
+      ("inG", 0, 500000), ("inG1", 200, 200), ("inG2", -500, -500),
+      ("in3", 2000100, 2000100), ("out", 1500000, 1500000))
+    val got = run(pts, polys, 1000L)
+    val want = brute(pts, polys)
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(got.contains(("inG", 0)) && got.contains(("inG1", 1)) && got.contains(("in3", 3)))
+  }
+
   test("segTouch: proper cross, endpoint touch, collinear overlap/disjoint") {
     import PipKernels.segTouch
     assert(segTouch(0, 0, 10, 10, 0, 10, 10, 0))      // proper X crossing
@@ -130,14 +150,20 @@ class PipJoinSpec extends AnyFunSuite {
       s"missing=${(want -- gotMany).take(5)} extra=${(gotMany -- want).take(5)}")
   }
 
-  test("plan: shuffle equi-join on the cell key, no cartesian/BNLJ") {
+  test("plan: equi-join candidates; only the bounded level fan-out nests") {
     import spark.implicits._
     val df = Pip.pipJoin(
       (0 until 50).map(i => (s"q$i", i * 7, i * 3)).toDF("image_id", "lon", "lat"),
       Pip.polyDf(spark, Pip.manyPolygons), Pip.ManyCellSide)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join must be a hash/sort-merge EQUI-join on (lvl, cx, cy)
+    assert(p.contains("Join [lvl"), p)
+    // the only nested-loop node allowed is the <= ~32-row distinct-level
+    // broadcast (IdentityBroadcastMode = the unconditioned tiny fan-out);
+    // anything else nesting would be an O(n*m) degeneracy
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1 && (bnlj == 0 || p.contains("IdentityBroadcastMode")), p)
     assert(!p.contains("ScalaUDF"), p)
   }
 }
