@@ -333,33 +333,55 @@ object Pip {
   /** Polygon-overlap SELF-join — all pairs of intersecting polygons
     * (boundary touch or containment either way). With distJoin
     * (point-point) and pipJoin (point-polygon) this completes the spatial
-    * join trio. Blocking: both sides explode to bbox-covered cells, pairs
-    * meet in a shuffle EQUI-join on (cx, cy); because a pair can share
-    * MANY cells, it is emitted only from its canonical cell — the min
-    * corner of the two bbox cell-ranges' intersection, computable per row
-    * (both polygons cover their full bbox range, so that cell is always
-    * common) — no dedup shuffle. The codegen refine tests boundary
-    * touches exactly (integer orientation signs) plus first-vertex
-    * containment. At 10^6 polygons: fan-out bounded by polygon size /
-    * cell size, per-cell work tracks local overlap density, never a
-    * cartesian.
+    * join trio.
+    *
+    * Hierarchical blocking (the pipJoin scheme extended to two ring
+    * sides): every polygon REGISTERS at the level matching its own size
+    * (≤ 9 cells — a continent-sized ring cannot degenerate the explode)
+    * and PROBES its bbox cells at every distinct level ≥ its own (≤ 4
+    * cells per level, ≤ ~32 levels ever). A pair (A, B) with
+    * lvl(A) ≤ lvl(B) meets exactly where A probes B's registration level,
+    * so each pair meets at ONE level; within it, the pair is emitted only
+    * from the canonical cell — the max-of-bbox-mins cell, always common
+    * to both bbox ranges — and same-level pairs additionally order by pid
+    * (both orientations exist only there). No dedup shuffle, never a
+    * cartesian; the codegen refine tests boundary touches exactly
+    * (integer orientation signs) plus first-vertex containment.
     */
-  def polyOverlapJoin(polys: DataFrame, cellSide: Long): DataFrame = {
-    def side(p: String) = polys.select(
-      col("pid").as(s"pid_$p"), col("lons").as(s"lons_$p"), col("lats").as(s"lats_$p"),
-      expr(s"array_min(lons) div ${cellSide}L").as(s"minx_$p"),
-      expr(s"array_max(lons) div ${cellSide}L").as(s"maxx_$p"),
-      expr(s"array_min(lats) div ${cellSide}L").as(s"miny_$p"),
-      expr(s"array_max(lats) div ${cellSide}L").as(s"maxy_$p"))
-      .withColumn("cx", explode(sequence(col(s"minx_$p"), col(s"maxx_$p"))))
-      .withColumn("cy", explode(sequence(col(s"miny_$p"), col(s"maxy_$p"))))
-      .drop(s"maxx_$p", s"maxy_$p")
-    side("a").join(side("b"), Seq("cx", "cy"))
-      .filter(col("pid_a") < col("pid_b"))
-      .filter(col("cx") === greatest(col("minx_a"), col("minx_b")) &&
-        col("cy") === greatest(col("miny_a"), col("miny_b")))
-      .filter(intersects(col("lons_a"), col("lats_a"), col("lons_b"), col("lats_b")))
-      .select(col("pid_a").cast("long").as("pid_a"), col("pid_b").cast("long").as("pid_b"))
+  def polyOverlapJoin(polys: DataFrame, baseCell: Long): DataFrame = {
+    val withMeta = polys
+      .withColumn("minx", expr("cast(array_min(lons) as long)"))
+      .withColumn("maxx", expr("cast(array_max(lons) as long)"))
+      .withColumn("miny", expr("cast(array_min(lats) as long)"))
+      .withColumn("maxy", expr("cast(array_max(lats) as long)"))
+      .withColumn("spanMax", greatest(
+        col("maxx") - col("minx"), col("maxy") - col("miny"), lit(1L)))
+      .withColumn("lvlOwn", greatest(lit(0),
+        ceil(log(2.0, col("spanMax").cast("double") / baseCell)).cast("int")))
+    val reg = withMeta
+      .withColumn("side", expr(s"shiftleft(${baseCell}L, lvlOwn)"))
+      .withColumn("cx", explode(sequence(expr("minx div side"), expr("maxx div side"))))
+      .withColumn("cy", explode(sequence(expr("miny div side"), expr("maxy div side"))))
+      .select(col("lvlOwn").as("lvl"), col("cx"), col("cy"),
+        col("pid").as("pid_r"), col("lons").as("lons_r"), col("lats").as("lats_r"),
+        col("minx").as("minx_r"), col("miny").as("miny_r"))
+    val levels = withMeta.select(col("lvlOwn").as("lvl")).distinct()
+    val probe = withMeta
+      .join(broadcast(levels), col("lvl") >= col("lvlOwn"))
+      .withColumn("side", expr(s"shiftleft(${baseCell}L, lvl)"))
+      .withColumn("cx", explode(sequence(expr("minx div side"), expr("maxx div side"))))
+      .withColumn("cy", explode(sequence(expr("miny div side"), expr("maxy div side"))))
+      .select(col("lvl"), col("cx"), col("cy"), col("lvlOwn").as("lvlOwn_p"),
+        col("pid").as("pid_p"), col("lons").as("lons_p"), col("lats").as("lats_p"),
+        col("minx").as("minx_p"), col("miny").as("miny_p"))
+    probe.join(reg, Seq("lvl", "cx", "cy"))
+      .filter(col("pid_p") =!= col("pid_r"))
+      .filter(col("lvlOwn_p") < col("lvl") || col("pid_p") < col("pid_r"))
+      .filter(col("cx") === expr(s"greatest(minx_p, minx_r) div shiftleft(${baseCell}L, lvl)") &&
+        col("cy") === expr(s"greatest(miny_p, miny_r) div shiftleft(${baseCell}L, lvl)"))
+      .filter(intersects(col("lons_p"), col("lats_p"), col("lons_r"), col("lats_r")))
+      .select(least(col("pid_p"), col("pid_r")).cast("long").as("pid_a"),
+        greatest(col("pid_p"), col("pid_r")).cast("long").as("pid_b"))
   }
 
   /** DuckDB oracle of the polygon-overlap self-join: all-pairs edge-touch

@@ -150,6 +150,19 @@ class PipJoinSpec extends AnyFunSuite {
       s"missing=${(want -- gotMany).take(5)} extra=${(gotMany -- want).take(5)}")
   }
 
+  test("polyOverlap hierarchical: cross-level pairs meet exactly once") {
+    val polys = Array(
+      square(0, -1000000, -1000000, 1000000, 1000000), // giant (lvl ~11 at base 1000)
+      square(1, 100, 100, 500, 500),                   // small, inside the giant
+      square(2, 999900, 999900, 1000300, 1000300),     // small, straddles the giant's corner
+      square(3, 5000000, 5000000, 5000400, 5000400),   // small, far away
+      square(4, 5000200, 5000200, 5000600, 5000600))   // small, overlaps 3 (same level)
+    val rows = Pip.polyOverlapJoin(Pip.polyDf(spark, polys), 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == rows.toSet.size, s"duplicate emission: $rows")
+    assert(rows.toSet == Set((0L, 1L), (0L, 2L), (3L, 4L)), rows.toString)
+  }
+
   test("plan: equi-join candidates; only the bounded level fan-out nests") {
     import spark.implicits._
     val df = Pip.pipJoin(
