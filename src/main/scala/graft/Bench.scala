@@ -183,7 +183,15 @@ object Bench {
         "pip_join_96" -> (() => operators.Pip.pipJoin(
           img.select(col("image_id"), col("lon"), col("lat")),
           operators.Pip.polyDf(spark, operators.Pip.manyPolygons),
-          operators.Pip.ManyCellSide)))
+          operators.Pip.ManyCellSide)),
+        // the polygon-COUNT scale dimension: 1M points x 10k small rings
+        // through the hierarchical grid (counted, not materialized — the
+        // raw pair set is ~40% of points x overlap multiplicity)
+        "pip_join_10k" -> (() => operators.Pip.pipJoin(
+          img.select(col("image_id"), col("lon"), col("lat")),
+          operators.Pip.polyDf(spark, operators.Pip.benchPolygons),
+          operators.Pip.BenchCellSide)
+          .groupBy("pid").agg(count(lit(1)).as("n"))))
         .filter(e => keep(e._1))
     }
     val extraNames = extra.map(_._1)

@@ -260,6 +260,15 @@ object Pip {
     */
   val ManyCellSide = 100000000L
 
+  /** Bench-only fixture: 10k small polygons (~1.2 deg) — the polygon-count
+    * scale dimension the 96-ring gate can't show. */
+  lazy val benchPolygons: Array[PreparedPolygon] =
+    starPolygons(10000, "bpoly", 12000000.0, pid => 7 + pid % 5)
+
+  /** Base cell for the 10k-polygon bench join (~1.6 deg: most polygons at
+    * level 0-1). */
+  val BenchCellSide = 16000000L
+
   def polyDf(spark: SparkSession, polys: Array[PreparedPolygon]): DataFrame = {
     import spark.implicits._
     polys.toSeq.map(p => (p.id, p.lon.toSeq, p.lat.toSeq)).toDF("pid", "lons", "lats")

@@ -275,6 +275,27 @@ object RelationalQueries {
 
     // hierarchical totals via ROLLUP (sentinel-coalesced so both engines
     // order and hash identically — no NULL-order divergence)
+    // pivot: per-language counts spread over the fmt domain as columns
+    // (Spark relational pivot vs a CASE-aggregation oracle; the pivoted
+    // value list is fixed and known, so no collect-the-domain pass runs)
+    QueryDef.sql("q_pivot",
+      s"""SELECT lang,
+         |  COUNT(CASE WHEN fmt = 'raw' THEN 1 END) AS raw,
+         |  COUNT(CASE WHEN fmt = 'qrle' THEN 1 END) AS qrle,
+         |  CAST(SUM(CASE WHEN fmt = 'raw' THEN w END) AS BIGINT) AS raw_w,
+         |  CAST(SUM(CASE WHEN fmt = 'qrle' THEN w END) AS BIGINT) AS qrle_w
+         |FROM ${graft.sources.ImageTable.duckSql()}
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.sources.ImageTable.df(s, dir)
+        .groupBy("lang").pivot("fmt", Seq("raw", "qrle"))
+        .agg(count(lit(1)).as("n"), sum(col("w").cast("long")).as("w"))
+        .select(col("lang"),
+          coalesce(col("raw_n"), lit(0L)).as("raw"),
+          coalesce(col("qrle_n"), lit(0L)).as("qrle"),
+          col("raw_w"), col("qrle_w"))
+        .orderBy("lang")
+    },
+
     QueryDef.sql("q_rollup",
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS st,
          |  COUNT(*) AS n, CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_c
