@@ -101,16 +101,21 @@ case class PipMaskExpr(left: Expression, right: Expression, set: PipSet)
   */
 object PipKernels {
 
-  /** Sign of the cross product (b-a) x (c-a). Caller contract: the three
-    * points are blocking-local (deltas < ~1.5e9), so each product stays
-    * under ~7e17 and the difference under Long overflow; the DuckDB oracle
-    * computes the same quantity in HUGEINT, so any violation would surface
-    * as a gate mismatch, not silent corruption.
+  /** Sign of the cross product (b-a) x (c-a), EXACT at any planar
+    * magnitude: coordinate deltas can reach 3.6e9 (two continent-sized
+    * rings meeting in one coarse cell), whose product overflows Int64, so
+    * the two products are compared as signed 128-bit values
+    * (Math.multiplyHigh + unsigned-low tiebreak) — matching the DuckDB
+    * oracle's HUGEINT arithmetic without its allocation.
     */
-  private def orientSign(ax: Long, ay: Long, bx: Long, by: Long,
+  private[graft] def orientSign(ax: Long, ay: Long, bx: Long, by: Long,
       cx: Long, cy: Long): Int = {
-    val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    if (v > 0) 1 else if (v < 0) -1 else 0
+    val p = bx - ax; val q = cy - ay
+    val r = by - ay; val s = cx - ax
+    val hi1 = Math.multiplyHigh(p, q); val lo1 = p * q
+    val hi2 = Math.multiplyHigh(r, s); val lo2 = r * s
+    if (hi1 != hi2) { if (hi1 > hi2) 1 else -1 }
+    else java.lang.Long.compareUnsigned(lo1, lo2).signum
   }
 
   private def between(v: Long, a: Long, b: Long): Boolean =

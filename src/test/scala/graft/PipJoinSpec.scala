@@ -109,6 +109,23 @@ class PipJoinSpec extends AnyFunSuite {
     assert(got.contains(("inG", 0)) && got.contains(("inG1", 1)) && got.contains(("in3", 3)))
   }
 
+  test("orientSign is exact where the naive Int64 cross product overflows") {
+    import graft.core.PortableHash
+    // deliberate overflow region: full-domain deltas make p*q - r*s reach
+    // ~1.3e19 > Long.MaxValue (naive arithmetic wraps and flips the sign)
+    val v = PipKernels.orientSign(1800000000L, -900000000L,
+      -1800000000L, 900000000L, -2100000000L, -2100000000L)
+    assert(v == 1, s"128-bit sign must survive the wrap (got $v)")
+    // property: agreement with BigInt at hash-scattered extreme coordinates
+    for (i <- 0 until 500) {
+      def c(seed: String) = PortableHash.h60(s"$seed:$i") % 4200000001L - 2100000000L
+      val (ax, ay, bx, by, cx, cy) = (c("oa"), c("ob"), c("oc"), c("od"), c("oe"), c("of"))
+      val want = ((BigInt(bx - ax) * BigInt(cy - ay)) - (BigInt(by - ay) * BigInt(cx - ax))).signum
+      assert(PipKernels.orientSign(ax, ay, bx, by, cx, cy) == want,
+        s"($ax,$ay)-($bx,$by) vs ($cx,$cy)")
+    }
+  }
+
   test("segTouch: proper cross, endpoint touch, collinear overlap/disjoint") {
     import PipKernels.segTouch
     assert(segTouch(0, 0, 10, 10, 0, 10, 10, 0))      // proper X crossing
