@@ -29,6 +29,9 @@ object GeoQueries {
   /** g_dist_join radius: 2.0 deg in the 1e-7 fixed-point planar space. */
   val DistR = 20000000L
 
+  /** g_poly_overlap_img square half-side: 4 deg in 1e-7 fixed point. */
+  val PolySquareHalf = 40000000L
+
   /** g_zorder_scan fixture bbox (75 x 42 deg band) and morton resolution. */
   val ZMinLon = -400000000; val ZMaxLon = 350000000
   val ZMinLat = -100000000; val ZMaxLat = 320000000
@@ -218,6 +221,35 @@ object GeoQueries {
     QueryDef.sql("g_poly_overlap", Pip.polyOverlapDuckSql()) { (s, dir) =>
       Pip.polyOverlapJoin(Pip.polyDf(s, Pip.manyPolygons), Pip.ManyCellSide)
         .orderBy("pid_a", "pid_b")
+    },
+
+    // DATA-DEPENDENT polygon overlap: square rings built around every 10th
+    // image point run through the same polyOverlapJoin machinery (ring
+    // arrays, hierarchical blocking, orientation refine); for axis-aligned
+    // squares "intersect incl. touch" reduces to interval overlap on both
+    // axes, so the oracle is a plain inequality join — disjoint algorithm,
+    // data-driven result at every scale.
+    QueryDef.sql("g_poly_overlap_img", {
+      val d2 = 2 * PolySquareHalf
+      s"""WITH ${ImageTable.duckCte()},
+         |s AS (SELECT CAST(doc_id AS BIGINT) AS pid, lon, lat FROM img
+         |      WHERE doc_id % 10 = 0)
+         |SELECT a.pid AS pid_a, b.pid AS pid_b
+         |FROM s a JOIN s b ON a.pid < b.pid
+         | AND ABS(CAST(a.lon AS BIGINT) - b.lon) <= $d2
+         | AND ABS(CAST(a.lat AS BIGINT) - b.lat) <= $d2
+         |ORDER BY pid_a, pid_b""".stripMargin
+    }) { (s, dir) =>
+      val d = PolySquareHalf
+      val squares = img(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("int").as("pid"),
+          array((col("lon") - d).cast("int"), (col("lon") + d).cast("int"),
+            (col("lon") + d).cast("int"), (col("lon") - d).cast("int"),
+            (col("lon") - d).cast("int")).as("lons"),
+          array((col("lat") - d).cast("int"), (col("lat") - d).cast("int"),
+            (col("lat") + d).cast("int"), (col("lat") + d).cast("int"),
+            (col("lat") - d).cast("int")).as("lats"))
+      Pip.polyOverlapJoin(squares, Pip.ManyCellSide).orderBy("pid_a", "pid_b")
     },
 
     // z-order layout scan: the bbox query served as morton-range candidates
