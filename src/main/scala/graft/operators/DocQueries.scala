@@ -302,6 +302,43 @@ object DocQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // contrastive negative sampling: K deterministic hash-drawn negatives
+    // per document (the contrastive-training pair generator). doc ids are
+    // dense 0..N-1, so the draw h60("neg:i:k") % N joins straight back to
+    // the corpus in one shuffle equi-join — no per-row random state, no
+    // driver sampling, reproducible across engines; a self-draw remaps to
+    // the next id (mirrored in the oracle). At 10^12 docs this is a plain
+    // N*K-row equi-join on the id.
+    QueryDef.sql("d_neg_pairs", {
+      val h = graft.core.PortableHash.duckSql(
+        "('neg:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR))")
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT d.doc_id, k.k, ($h % (SELECT n FROM n)) AS neg0
+         |  FROM documents d, (SELECT UNNEST([0,1,2,3]) AS k) k),
+         |r AS (SELECT doc_id, k,
+         |        CASE WHEN neg0 = doc_id THEN (neg0 + 1) % (SELECT n FROM n)
+         |             ELSE neg0 END AS neg FROM raw)
+         |SELECT r.doc_id, CAST(r.k AS BIGINT) AS k, r.neg, g.lang AS neg_lang
+         |FROM r JOIN documents g ON g.doc_id = r.neg
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val n = d.count()
+      val h = graft.sources.ImageTable.h60(
+        concat(lit("neg:"), col("doc_id").cast("string"), lit(":"), col("k").cast("string")))
+      val draws = d.select(col("doc_id"))
+        .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("neg0", h % n)
+        .withColumn("neg", when(col("neg0") === col("doc_id"), (col("neg0") + 1) % n)
+          .otherwise(col("neg0")))
+        .drop("neg0")
+      val corpus = d.select(col("doc_id").as("neg"), col("lang").as("neg_lang"))
+      draws.join(corpus, Seq("neg"))
+        .select(col("doc_id"), col("k"), col("neg"), col("neg_lang"))
+        .orderBy("doc_id", "k")
+    },
+
     // exact dedup over planted duplicates (the source table has none):
     // rows with doc_id % 5 == 0 are re-inserted under doc_id + 10^7
     QueryDef.sql("d_dedup_exact",
