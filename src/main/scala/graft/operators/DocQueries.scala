@@ -770,6 +770,35 @@ object DocQueries {
     // driver, so the full distinct-word table never funnels through one
     // partition (a bare row_number window with no PARTITION BY would).
     // Rank is assigned afterwards over the 40 survivors only.
+    // salient-term extraction: top-3 terms per document ordered by term
+    // frequency, then rarity (ascending document frequency), then term —
+    // the tf-idf ranking made integer-exact (ln(N/df) is monotone
+    // decreasing in df, so for equal tf the idf order IS the df order; no
+    // cross-engine float comparison can diverge). Window partitioned by
+    // doc_id — fully parallel at any corpus size.
+    QueryDef.sql("d_salient_terms",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+         |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY tf.tf DESC, df.df ASC, tf.word) AS rk
+         |      FROM tf JOIN df USING (word))
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, tf, df
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
+      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfq = tok.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+      tf.join(dfq, Seq("word"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("word"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("word"), col("tf"), col("df"))
+        .orderBy("doc_id", "rk")
+    },
+
     QueryDef.sql("d_vocab",
       s"""SELECT CAST(rk AS BIGINT) AS rk, word, df FROM (
          |  SELECT word, df, row_number() OVER (ORDER BY df DESC, word) AS rk

@@ -32,6 +32,9 @@ object GeoQueries {
   /** g_poly_overlap_img square half-side: 4 deg in 1e-7 fixed point. */
   val PolySquareHalf = 40000000L
 
+  /** g_heatmap cell side: 5 deg in the 1e-7 fixed-point space. */
+  val HeatCell = 50000000L
+
   /** g_zorder_scan fixture bbox (75 x 42 deg band) and morton resolution. */
   val ZMinLon = -400000000; val ZMaxLon = 350000000
   val ZMinLat = -100000000; val ZMaxLat = 320000000
@@ -307,6 +310,38 @@ object GeoQueries {
         .groupBy("tile")
         .agg(sum("pc").as("cnt"), sum("ps").as("s"))
         .orderBy("tile")
+    },
+
+    // density heatmap: per-cell point counts plus a 3x3 box-smoothed sum
+    // (the KDE-lite raster every map tile server / density-based sampler
+    // computes). Engine: cell counts (map-side combine), each OCCUPIED cell
+    // fans its count to its 9 neighbours, the smoothed sum regroups on the
+    // target cell, and an inner join back to the counts keeps only occupied
+    // cells — two shuffles over |cells| rows (<< |points|), never a
+    // cartesian. At 100 TB the first agg reduces points to cells map-side,
+    // the 9x fan-out is over the (small) cell frame only, and a hot metro
+    // cell is ONE row after that first agg — skew dies at the map side.
+    // Oracle: a brute-force Chebyshev-distance inequality self-join over
+    // the cells — shares no algorithm with the engine's fan-out equi-join.
+    QueryDef.sql("g_heatmap",
+      s"""WITH pts AS (SELECT ${Bbs.duckdbDiv("CAST(lon AS BIGINT)", s"$HeatCell")} AS cx,
+         |    ${Bbs.duckdbDiv("CAST(lat AS BIGINT)", s"$HeatCell")} AS cy $fromImg),
+         |c AS (SELECT cx, cy, COUNT(*) AS cnt FROM pts GROUP BY cx, cy)
+         |SELECT a.cx, a.cy, a.cnt, CAST(SUM(b.cnt) AS BIGINT) AS smooth
+         |FROM c a JOIN c b ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         |GROUP BY a.cx, a.cy, a.cnt ORDER BY a.cx, a.cy""".stripMargin) { (s, dir) =>
+      val cells = img(s, dir)
+        .select(expr(s"CAST(lon AS BIGINT) div ${HeatCell}L").as("cx"),
+          expr(s"CAST(lat AS BIGINT) div ${HeatCell}L").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
+      val smoothed = cells
+        .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .groupBy((col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+        .agg(sum("cnt").as("smooth"))
+      cells.join(smoothed, Seq("cx", "cy"))
+        .select(col("cx"), col("cy"), col("cnt"), col("smooth"))
+        .orderBy("cx", "cy")
     },
 
     // lineage-manifest gate: do a real checkpointed tiled write

@@ -21,6 +21,9 @@ object RelationalQueries {
   /** exact cents: CAST(round(x*100) AS BIGINT), identical in both engines */
   private def cents(c: String) = s"CAST(round($c * 100) AS BIGINT)"
 
+  /** q_sessionize inactivity gap: 6 h in epoch milliseconds. */
+  val SessionGapMs = 21600000L
+
   /** The reference's 49 discardable tag keys (ElementWithID.java:27-79). */
   val DiscardableKeys: Seq[String] = Seq(
     "created_by", "converted_by", "geobase:datasetName", "geobase:uuid",
@@ -198,6 +201,39 @@ object RelationalQueries {
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // gap-based sessionization: a new session starts when a user's
+    // inter-event gap exceeds 6 h. One window (lag + running sum) partitioned
+    // by user_id — every user sessionizes independently, so the operator
+    // parallelizes to any user count; no global sort, no driver state. The
+    // per-user ORDER BY (t, event_id) is a total order (event_id unique),
+    // so the session numbering is deterministic on both engines.
+    QueryDef.sql("q_sessionize",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+         |m AS (SELECT user_id, event_id, t,
+         |        CASE WHEN COALESCE(t - lag(t) OVER w, ${SessionGapMs + 1}) > $SessionGapMs
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |x AS (SELECT user_id, t,
+         |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS sess
+         |      FROM m)
+         |SELECT user_id, sess, COUNT(*) AS n_events, MIN(t) AS t_start, MAX(t) AS t_end
+         |FROM x GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      t(s, dir, "events")
+        // ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the LTZ cast
+        // is the identity reinterpretation and unix_millis == DuckDB epoch_ms
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("t"))
+        .withColumn("brk",
+          when(coalesce(col("t") - lag("t", 1).over(w), lit(SessionGapMs + 1)) > SessionGapMs,
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("sess", sum("brk").over(w))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), min("t").as("t_start"), max("t").as("t_end"))
+        .orderBy("user_id", "sess")
     },
 
     // J1 analog — node-location join: "ways" (lineitem refs in linenumber
