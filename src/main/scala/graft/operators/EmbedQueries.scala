@@ -91,6 +91,60 @@ object EmbedQueries {
     */
   val HierNlistThreshold = 4096
 
+  /** e_kmeans configuration: k clusters, T Lloyd iterations. T is FIXED (the
+    * oracle unrolls the identical iterations); production would iterate to a
+    * movement epsilon with a persisted centroid frame per round. */
+  val KmK = 8
+  val KmIters = 2
+
+  private def kmHashSql = PortableHash.sparkSql("('kmc:' || CAST(vec_id AS STRING))")
+  private def kmHashDuck = PortableHash.duckSql("('kmc:' || CAST(vec_id AS VARCHAR))")
+
+  /** Integer-exact Lloyd k-means over the milli-quantized vectors — the
+    * cluster-then-curate primitive (SemDeDup-style semantic dedup, cluster-
+    * balanced sampling). Every arithmetic step is integer: distances are the
+    * exact BIGINT dot identities, centroid updates are truncating integer
+    * division (Spark `div` == DuckDB `//`, verified on negatives), so the
+    * DuckDB oracle replays the iterations EXACTLY — no float convergence
+    * divergence cross-engine. Init is the hash-ranked data sample (same
+    * technique as the IVF coarse quantizer, distinct salt).
+    *
+    * Scale shape per iteration: assignment is a k-row broadcast over the
+    * vector scan (no shuffle of the big side); the update explodes assigned
+    * vectors to (j, d) rows whose partial aggregation combines map-side down
+    * to k*Dim rows before the one small shuffle. Empty clusters keep their
+    * previous centroid (anti-join on the tiny frame). The plan deepens by T
+    * fixed rounds; at production T, each round's centroid frame is a k*Dim
+    * local result and would be checkpointed.
+    */
+  def kmeans(s: SparkSession, dir: String, k: Int = KmK, iters: Int = KmIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = quantized(s, dir)
+    val wInit = Window.orderBy("h", "vec_id")
+    var cent = v.withColumn("h", expr(kmHashSql))
+      .orderBy("h", "vec_id").limit(k)
+      .withColumn("j", row_number().over(wInit).cast("long") - 1L)
+      .select(col("j"), col("v").as("c"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("j"))
+    def assign(c: DataFrame): DataFrame =
+      v.crossJoin(broadcast(c))
+        .withColumn("dist", ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+    for (_ <- 1 to iters) {
+      val asg = assign(cent).select(col("vec_id"), col("v"), col("j"))
+      val upd = asg.select(col("j"), posexplode(col("v")).as(Seq("d", "qv")))
+        .groupBy("j", "d").agg(expr("sum(qv) div count(1)").as("cv"))
+        .groupBy("j").agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+      // empty clusters keep their previous centroid; both frames are k rows,
+      // so the anti-join is hint-broadcast (SMJ on a k-row frame is waste)
+      cent = upd.unionByName(cent.join(broadcast(upd), Seq("j"), "left_anti"))
+    }
+    assign(cent).select(col("vec_id"), col("j").as("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic hash-ranked sample of the vectors as centroid frame
     * (j, c) — entirely inside the plan: a distributed top-nlist
     * (TakeOrderedAndProject) followed by a row_number over the nlist
@@ -565,6 +619,41 @@ object EmbedQueries {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, pid, dot FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin
     }) { (s, dir) => ivfTopkHier(s, dir, nlist = 64, ncoarse = 8, probeCoarse = 2) },
+
+    // integer-exact Lloyd k-means (see [[kmeans]]): the oracle unrolls the
+    // same T=2 iterations dim-expanded — hash-sampled init, exact BIGINT
+    // L2 assignment with (dist, j) tie rule, truncating-division centroid
+    // update with empty clusters keeping their previous centroid — then the
+    // final assignment. Engine computes distances via the dot identity over
+    // arrays; the oracle sums squared per-dim deltas: same integers, no
+    // shared algorithm shape.
+    QueryDef.sql("e_kmeans", {
+      val k = KmK
+      def iter(n: Int, prev: String): String =
+        s"""a$n AS (SELECT vec_id, j, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+           |  FROM (SELECT p.vec_id, c.j, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
+           |        FROM p JOIN $prev c USING (d) GROUP BY p.vec_id, c.j) t),
+           |g$n AS (SELECT a.j, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS cv
+           |  FROM (SELECT vec_id, j FROM a$n WHERE rk = 1) a JOIN p USING (vec_id)
+           |  GROUP BY a.j, p.d),
+           |c$n AS (SELECT o.j, o.d, COALESCE(n.cv, o.cv) AS cv
+           |  FROM $prev o LEFT JOIN g$n n ON n.j = o.j AND n.d = o.d)""".stripMargin
+      s"""WITH q AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
+         |p AS (SELECT vec_id, CAST(i AS INT) AS d, v[CAST(i AS INT)] AS qv
+         |      FROM q, range(1, ${Dim + 1}) r(i)),
+         |rankedc AS (SELECT v, row_number() OVER (ORDER BY $kmHashDuck, vec_id) AS rk FROM q),
+         |c0 AS (SELECT CAST(rk - 1 AS BIGINT) AS j, CAST(i AS INT) AS d, v[CAST(i AS INT)] AS cv
+         |       FROM rankedc, range(1, ${Dim + 1}) r(i) WHERE rk <= $k),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         |af AS (SELECT vec_id, j, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+         |  FROM (SELECT p.vec_id, c.j, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
+         |        FROM p JOIN c2 c USING (d) GROUP BY p.vec_id, c.j) t)
+         |SELECT vec_id, j AS cluster, CAST(dist AS BIGINT) AS dist
+         |FROM af WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    }) { (s, dir) => kmeans(s, dir) },
 
     // random-hyperplane LSH bucketing (verifies the low-8-bit base of the
     // scale-derived bucket id the ANN join keys on — annBits(n) >= 8 always,

@@ -292,6 +292,29 @@ class EmbedSpec extends AnyFunSuite {
     assert(m100 <= 4 * m10, f"occupancy grew ~linearly: $m10%.1f -> $m100%.1f")
   }
 
+  test("k-means: total assignment cost improves over init; plan stays in-plan") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val fin = EmbedQueries.kmeans(spark, dir).cache()
+    val n = fin.count()
+    assert(n == 500 && fin.select("vec_id").distinct().count() == n)
+    val nClusters = fin.select("cluster").distinct().count()
+    assert(nClusters > 1, s"degenerate clustering: $nClusters cluster(s)")
+    // Lloyd monotonicity on this fixture: two update rounds must not cost
+    // more than assigning straight from the hash-sampled init (iters = 0)
+    val costF = fin.agg(sum("dist")).head().getLong(0)
+    val cost0 = EmbedQueries.kmeans(spark, dir, iters = 0)
+      .agg(sum("dist")).head().getLong(0)
+    info(s"cost init=$cost0 final=$costF clusters=$nClusters")
+    assert(costF < cost0)
+    fin.unpersist()
+    // centroids derive inside the plan (no driver collect), assignment is a
+    // k-row broadcast — never a shuffle of the vector side per centroid
+    val plan = EmbedQueries.kmeans(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("hot-bucket caps: nothing dropped on this corpus, diagnostics exposed") {
     val dir = "/root/testdata/sf0.01"
     val (cmax, cdrop) = EmbedQueries.cosineBucketStats(spark, dir)
