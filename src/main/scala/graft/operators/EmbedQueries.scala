@@ -117,7 +117,15 @@ object EmbedQueries {
     * fixed rounds; at production T, each round's centroid frame is a k*Dim
     * local result and would be checkpointed.
     */
-  def kmeans(s: SparkSession, dir: String, k: Int = KmK, iters: Int = KmIters): DataFrame = {
+  def kmeans(s: SparkSession, dir: String, k: Int = KmK, iters: Int = KmIters): DataFrame =
+    kmeansAssign(s, dir, k, iters)
+      .select(col("vec_id"), col("j").as("cluster"), col("dist"))
+      .orderBy("vec_id")
+
+  /** The final k-means assignment frame (vec_id, v, j, dist) — kmeans's body,
+    * also the cluster key feed for [[semdedup]] / cluster-balanced sampling. */
+  private[graft] def kmeansAssign(s: SparkSession, dir: String,
+                                  k: Int = KmK, iters: Int = KmIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = quantized(s, dir)
     val wInit = Window.orderBy("h", "vec_id")
@@ -141,8 +149,83 @@ object EmbedQueries {
       // so the anti-join is hint-broadcast (SMJ on a k-row frame is waste)
       cent = upd.unionByName(cent.join(broadcast(upd), Seq("j"), "left_anti"))
     }
-    assign(cent).select(col("vec_id"), col("j").as("cluster"), col("dist"))
-      .orderBy("vec_id")
+    assign(cent).select(col("vec_id"), col("v"), col("j"), col("dist"))
+  }
+
+  /** SemDeDup: within-cluster semantic near-duplicate pairs over the k-means
+    * partition — the pair join keys on the CLUSTER id (an equi-join; the
+    * cluster structure is what bounds the candidate set, the whole point of
+    * clustering before dedup), then the exact integer cosine >= 0.45 predicate
+    * (400*dot^2 >= 81*|a|^2*|b|^2, dot >= 0) confirms. 0.45 is the GATE
+    * fixture threshold: the synthetic embeddings are near-random (max
+    * within-cluster cosine ~0.5-0.6), so a production-style 0.9 would gate an
+    * always-empty result; a real corpus would run 0.9+. The keep/drop rule is
+    * SemDeDup's: the vector FARTHER from its centroid drops (tie: larger id).
+    * At 100 TB: k tracks n/targetClusterSize so per-cluster candidate sets
+    * stay bounded; a skewed hot cluster splits under AQE like any hot key.
+    */
+  def semdedup(s: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(s, dir)
+    val a = asg.select(col("j"), col("vec_id").as("id_a"), col("v").as("va"),
+      col("dist").as("da"))
+    val b = asg.select(col("j"), col("vec_id").as("id_b"), col("v").as("vb"),
+      col("dist").as("db"))
+    val dot = ip("va", "vb")
+    val cos2 = lit(400L) * dot * dot >= lit(81L) * ip("va", "va") * ip("vb", "vb")
+    a.join(b, Seq("j")).filter(col("id_a") < col("id_b"))
+      .filter(dot >= 0L && cos2)
+      .select(col("j").as("cluster"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("id_a") < col("id_b")),
+          col("id_a")).otherwise(col("id_b")).as("keep_id"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("drop_id"))
+      .orderBy("cluster", "keep_id", "drop_id")
+  }
+
+  /** e_cluster_sample per-cluster quota. */
+  val KmSampleM = 16
+
+  /** Cluster-balanced sample: up to [[KmSampleM]] vectors per k-means cluster,
+    * ranked by a deterministic per-vector hash — the uniform-within-cluster,
+    * balanced-across-clusters draw a curation pipeline uses to cap dominant
+    * modes (the complement of [[semdedup]]'s within-cluster pruning). One
+    * window partitioned by cluster — parallel over clusters at any scale. */
+  def clusterSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("j").orderBy(col("h"), col("vec_id"))
+    kmeansAssign(s, dir)
+      .withColumn("h", expr(PortableHash.sparkSql("('kms:' || CAST(vec_id AS STRING))")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= KmSampleM)
+      .select(col("j").as("cluster"), col("rk"), col("vec_id"))
+      .orderBy("cluster", "rk")
+  }
+
+  /** The k-means oracle CTE chain (q, p, c0, two unrolled Lloyd iterations,
+    * final assignment `af`) — shared by the e_kmeans and e_semdedup oracles. */
+  private lazy val kmOracleCtes: String = {
+    def iter(n: Int, prev: String): String =
+      s"""a$n AS (SELECT vec_id, j, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+         |  FROM (SELECT p.vec_id, c.j, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
+         |        FROM p JOIN $prev c USING (d) GROUP BY p.vec_id, c.j) t),
+         |g$n AS (SELECT a.j, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS cv
+         |  FROM (SELECT vec_id, j FROM a$n WHERE rk = 1) a JOIN p USING (vec_id)
+         |  GROUP BY a.j, p.d),
+         |c$n AS (SELECT o.j, o.d, COALESCE(n.cv, o.cv) AS cv
+         |  FROM $prev o LEFT JOIN g$n n ON n.j = o.j AND n.d = o.d)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
+       |p AS (SELECT vec_id, CAST(i AS INT) AS d, v[CAST(i AS INT)] AS qv
+       |      FROM q, range(1, ${Dim + 1}) r(i)),
+       |rankedc AS (SELECT v, row_number() OVER (ORDER BY $kmHashDuck, vec_id) AS rk FROM q),
+       |c0 AS (SELECT CAST(rk - 1 AS BIGINT) AS j, CAST(i AS INT) AS d, v[CAST(i AS INT)] AS cv
+       |       FROM rankedc, range(1, ${Dim + 1}) r(i) WHERE rk <= $KmK),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |af AS (SELECT vec_id, j, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+       |  FROM (SELECT p.vec_id, c.j, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
+       |        FROM p JOIN c2 c USING (d) GROUP BY p.vec_id, c.j) t)""".stripMargin
   }
 
   /** Deterministic hash-ranked sample of the vectors as centroid frame
@@ -627,33 +710,45 @@ object EmbedQueries {
     // final assignment. Engine computes distances via the dot identity over
     // arrays; the oracle sums squared per-dim deltas: same integers, no
     // shared algorithm shape.
-    QueryDef.sql("e_kmeans", {
-      val k = KmK
-      def iter(n: Int, prev: String): String =
-        s"""a$n AS (SELECT vec_id, j, dist,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
-           |  FROM (SELECT p.vec_id, c.j, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
-           |        FROM p JOIN $prev c USING (d) GROUP BY p.vec_id, c.j) t),
-           |g$n AS (SELECT a.j, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS cv
-           |  FROM (SELECT vec_id, j FROM a$n WHERE rk = 1) a JOIN p USING (vec_id)
-           |  GROUP BY a.j, p.d),
-           |c$n AS (SELECT o.j, o.d, COALESCE(n.cv, o.cv) AS cv
-           |  FROM $prev o LEFT JOIN g$n n ON n.j = o.j AND n.d = o.d)""".stripMargin
-      s"""WITH q AS (SELECT vec_id, $duckQuant AS v FROM embeddings),
-         |p AS (SELECT vec_id, CAST(i AS INT) AS d, v[CAST(i AS INT)] AS qv
-         |      FROM q, range(1, ${Dim + 1}) r(i)),
-         |rankedc AS (SELECT v, row_number() OVER (ORDER BY $kmHashDuck, vec_id) AS rk FROM q),
-         |c0 AS (SELECT CAST(rk - 1 AS BIGINT) AS j, CAST(i AS INT) AS d, v[CAST(i AS INT)] AS cv
-         |       FROM rankedc, range(1, ${Dim + 1}) r(i) WHERE rk <= $k),
-         |${iter(1, "c0")},
-         |${iter(2, "c1")},
-         |af AS (SELECT vec_id, j, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
-         |  FROM (SELECT p.vec_id, c.j, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
-         |        FROM p JOIN c2 c USING (d) GROUP BY p.vec_id, c.j) t)
+    QueryDef.sql("e_kmeans",
+      s"""$kmOracleCtes
          |SELECT vec_id, j AS cluster, CAST(dist AS BIGINT) AS dist
-         |FROM af WHERE rk = 1 ORDER BY vec_id""".stripMargin
-    }) { (s, dir) => kmeans(s, dir) },
+         |FROM af WHERE rk = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      kmeans(s, dir)
+    },
+
+    // SemDeDup (see [[semdedup]]): the oracle replays the full k-means CTE
+    // chain, then confirms within-cluster pairs with the same exact integer
+    // cosine predicate and keep-closer-to-centroid rule.
+    QueryDef.sql("e_semdedup", {
+      val dot = s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> qa.v[i] * qb.v[i])) AS BIGINT)"
+      def nrm(t: String) =
+        s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $t.v[i] * $t.v[i])) AS BIGINT)"
+      val keepA = "a.dist < b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id)"
+      s"""$kmOracleCtes,
+         |fin AS (SELECT vec_id, j, dist FROM af WHERE rk = 1)
+         |SELECT a.j AS cluster,
+         |  CASE WHEN $keepA THEN a.vec_id ELSE b.vec_id END AS keep_id,
+         |  CASE WHEN $keepA THEN b.vec_id ELSE a.vec_id END AS drop_id
+         |FROM fin a JOIN fin b ON a.j = b.j AND a.vec_id < b.vec_id
+         |JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id
+         |WHERE $dot >= 0
+         |  AND 400 * $dot * $dot >= 81 * ${nrm("qa")} * ${nrm("qb")}
+         |ORDER BY cluster, keep_id, drop_id""".stripMargin
+    }) { (s, dir) => semdedup(s, dir) },
+
+    // cluster-balanced sampling (see [[clusterSample]]): oracle = the shared
+    // k-means CTEs + the same hash-ranked per-cluster window.
+    QueryDef.sql("e_cluster_sample", {
+      val h = PortableHash.duckSql("('kms:' || CAST(vec_id AS VARCHAR))")
+      s"""$kmOracleCtes,
+         |fin AS (SELECT vec_id, j FROM af WHERE rk = 1)
+         |SELECT j AS cluster, CAST(srk AS BIGINT) AS rk, vec_id FROM (
+         |  SELECT j, vec_id,
+         |    row_number() OVER (PARTITION BY j ORDER BY $h, vec_id) AS srk
+         |  FROM fin) t
+         |WHERE srk <= $KmSampleM ORDER BY cluster, rk""".stripMargin
+    }) { (s, dir) => clusterSample(s, dir) },
 
     // random-hyperplane LSH bucketing (verifies the low-8-bit base of the
     // scale-derived bucket id the ANN join keys on — annBits(n) >= 8 always,

@@ -315,6 +315,50 @@ class EmbedSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("semdedup: pairs are within-cluster, keep is closer to centroid, join is equi") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val pairs = EmbedQueries.semdedup(spark, dir).cache()
+    val n = pairs.count()
+    info(s"semdedup pairs on sf0.001: $n")
+    assert(n > 0, "fixture threshold should yield at least one pair")
+    // every (keep, drop) pair shares the pair's cluster id, and the keep
+    // side is never farther from its centroid than the drop side
+    val asg = EmbedQueries.kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("j"), col("dist"))
+    val k = pairs.join(asg, pairs("keep_id") === asg("vec_id"))
+      .select(col("cluster"), col("j").as("jk"), col("dist").as("dk"),
+        col("keep_id"), col("drop_id"))
+    val kd = k.join(asg, k("drop_id") === asg("vec_id"))
+      .select(col("cluster"), col("jk"), col("dk"), col("j").as("jd"),
+        col("dist").as("dd"))
+    assert(kd.filter(col("jk") =!= col("cluster") || col("jd") =!= col("cluster")).count() == 0)
+    assert(kd.filter(col("dk") > col("dd")).count() == 0)
+    pairs.unpersist()
+    // the candidate join must key on the cluster id (the bounded k-row
+    // centroid broadcast inside kmeans is the one allowed nested loop)
+    val plan = EmbedQueries.semdedup(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin [j#") || plan.contains("ShuffledHashJoin [j#"),
+      plan.take(2000))
+  }
+
+  test("cluster sample: per-cluster quota respected, ranks dense from 1") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val s5 = EmbedQueries.clusterSample(spark, dir).cache()
+    val per = s5.groupBy("cluster").agg(count("*").as("c"), max("rk").as("mx"),
+      min("rk").as("mn")).collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getLong(1) <= EmbedQueries.KmSampleM)
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 1L,
+        s"ranks not dense for cluster ${r.get(0)}: $r")
+    }
+    assert(s5.select("vec_id").distinct().count() == s5.count())
+    s5.unpersist()
+  }
+
   test("hot-bucket caps: nothing dropped on this corpus, diagnostics exposed") {
     val dir = "/root/testdata/sf0.01"
     val (cmax, cdrop) = EmbedQueries.cosineBucketStats(spark, dir)
