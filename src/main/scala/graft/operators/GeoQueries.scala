@@ -82,6 +82,39 @@ object GeoQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deepest tile-pyramid zoom level (g_tile_pyramid). Shifted-positive
+    * coords fit 32/31 bits (lon+1.8e9 < 2^32, lat+9e8 < 2^31), so level z
+    * uses cell sides 2^(32-z) x 2^(31-z) and the parent of a cell is just
+    * cx >> 1, cy >> 1 — a true quadtree. */
+  val PyrZMax = 6
+
+  /** Raster-to-vector tile pyramid: per-tile image aggregates (row count,
+    * total pixels, first image id) at zoom [[PyrZMax]] rolled up through
+    * every ancestor level to z = 0 — the multi-zoom map-tile manifest a
+    * serving layer reads. Shape for 100 TB: ONE full shuffle aggregates the
+    * n input rows to base cells (map-side combine does most of it), then the
+    * bounded base-cell frame explodes x(ZMax+1) ancestor keys into one more
+    * tiny groupBy — two exchanges total, no per-level job chain, no driver
+    * loop over levels. Rollup relies on the stats being associative
+    * (sum/sum/min); the oracle instead aggregates every level directly from
+    * the raw rows, so engine and oracle share no algorithm shape. */
+  def tilePyramid(img: DataFrame): DataFrame = {
+    val base = img.select(
+        expr(s"shiftright(CAST(lon AS BIGINT) + 1800000000, ${32 - PyrZMax})").as("cx"),
+        expr(s"shiftright(CAST(lat AS BIGINT) + 900000000, ${31 - PyrZMax})").as("cy"),
+        (col("w").cast("long") * col("h")).as("pxl"),
+        col("image_id"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("cnt"), sum("pxl").as("px"), min("image_id").as("first_img"))
+    base
+      .withColumn("z", explode(sequence(lit(0L), lit(PyrZMax.toLong))))
+      .groupBy(col("z"),
+        expr(s"shiftright(cx, $PyrZMax - CAST(z AS INT))").as("cx"),
+        expr(s"shiftright(cy, $PyrZMax - CAST(z AS INT))").as("cy"))
+      .agg(sum("cnt").as("cnt"), sum("px").as("px"), min("first_img").as("first_img"))
+      .orderBy("z", "cx", "cy")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql("g_geotag",
@@ -343,6 +376,22 @@ object GeoQueries {
         .select(col("cx"), col("cy"), col("cnt"), col("smooth"))
         .orderBy("cx", "cy")
     },
+
+    // tile pyramid (see tilePyramid): engine = base agg + ancestor-explode
+    // rollup; oracle = one direct GROUP BY per level from the raw rows
+    QueryDef.sql("g_tile_pyramid", {
+      val levels = (0 to PyrZMax).map { z =>
+        val dx = 1L << (32 - z); val dy = 1L << (31 - z)
+        s"""SELECT CAST($z AS BIGINT) AS z, x // $dx AS cx, y // $dy AS cy,
+           |  COUNT(*) AS cnt, CAST(SUM(pxl) AS BIGINT) AS px,
+           |  MIN(image_id) AS first_img FROM p GROUP BY 2, 3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS (SELECT image_id, CAST(lon AS BIGINT) + 1800000000 AS x,
+         |    CAST(lat AS BIGINT) + 900000000 AS y,
+         |    CAST(w AS BIGINT) * h AS pxl $fromImg)
+         |SELECT z, cx, cy, cnt, px, first_img FROM ($levels) t
+         |ORDER BY z, cx, cy""".stripMargin
+    }) { (s, dir) => tilePyramid(img(s, dir)) },
 
     // lineage-manifest gate: do a real checkpointed tiled write
     // (TileLineage.writeTiled — skipping already-manifested tiles, commit

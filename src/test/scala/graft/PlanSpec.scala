@@ -163,4 +163,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(_.trim.contains("* Project")), p)
     assert(!p.contains("CodegenFallback"), p)
   }
+
+  test("tile pyramid: two exchanges total, levels consistent, z=0 is global") {
+    val img = sources.ImageTable.df(spark, dir)
+    val pyr = operators.GeoQueries.tilePyramid(img).cache()
+    val zmax = operators.GeoQueries.PyrZMax.toLong
+    // z=0 row holds the global totals
+    val z0 = pyr.filter(col("z") === 0L).collect()
+    assert(z0.length == 1, z0.mkString(","))
+    assert(z0.head.getAs[Long]("cnt") == img.count())
+    // every parent row equals the re-aggregation of its 4 children
+    for (z <- 1L to zmax) {
+      val child = pyr.filter(col("z") === z)
+        .groupBy((col("z") - 1).as("z"),
+          expr("shiftright(cx, 1)").as("cx"), expr("shiftright(cy, 1)").as("cy"))
+        .agg(sum("cnt").as("cnt"), sum("px").as("px"), min("first_img").as("first_img"))
+      val parent = pyr.filter(col("z") === z - 1)
+      assert(parent.exceptAll(child).isEmpty && child.exceptAll(parent).isEmpty,
+        s"level ${z - 1} != rollup of level $z")
+    }
+    pyr.unpersist()
+    // two exchanges: raw rows -> base cells, base cells -> ancestor levels
+    // (plus the final presentation sort's range exchange)
+    val p = plan(operators.GeoQueries.tilePyramid(img))
+    val nEx = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(nEx == 3, s"expected 2 agg exchanges + 1 sort: $nEx\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
