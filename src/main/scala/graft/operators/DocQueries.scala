@@ -300,6 +300,34 @@ object DocQueries {
     (agg.getLong(0), agg.getLong(1))
   }
 
+  /** Exact 8-token substring-span dedup over a (doc_id, text) frame — the
+    * d_span_dup body (see the QueryDef comment for semantics and the 100 TB
+    * shape). Extracted so specs can feed planted fixtures. */
+  def spanDup(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w8 = d.select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .withColumn("n_grams", (size(col("ws")) - 7).cast("long"))
+    val g = w8
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 7)))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        expr(PortableHash.sparkSql("array_join(slice(ws, i, 8), ' ')")).as("gh"))
+    val dupHashes = g.groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .select("gh")
+    val runs = g.join(dupHashes, Seq("gh"), "left_semi")
+      .withColumn("grp",
+        col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+    val pd = runs.groupBy("doc_id")
+      .agg(sum("run").as("dup_grams"), (max("run") + 7).as("max_span"))
+    w8.select("doc_id", "n_grams").join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // contrastive negative sampling: K deterministic hash-drawn negatives
@@ -544,6 +572,39 @@ object DocQueries {
         .agg(count(lit(1)).as("n_kept"), expr("bit_xor(doc_id)").as("kept_xor"))
         .orderBy("lang")
     },
+
+    // exact substring-span dedup (the Lee et al. "Deduplicating Training
+    // Data" modality — the third dedup family besides whole-doc exact and
+    // MinHash near-dup): a doc position is DUPLICATED when its 8-token gram
+    // appears verbatim in at least one OTHER document. Per doc: total gram
+    // positions, duplicated positions, and the longest maximal duplicated
+    // span in tokens (consecutive dup positions merged gaps-and-islands
+    // style: run-group key = position - row_number within the doc).
+    // Shape for 100 TB: the gram explode is map-side (~L rows per doc), the
+    // duplicate test is one groupBy on the 60-bit gram hash (a hot gram is
+    // ONE row after the agg) plus a semi-join back, and the islands window
+    // partitions by doc_id — parallel everywhere, no driver state. Both
+    // engines key on the same md5-based hash, so collisions (if any) agree.
+    // Oracle-side `range(1, 256)` is the replay device for the lateral
+    // positions (corpus max is 100 tokens), not an engine capacity.
+    QueryDef.sql("d_span_dup", {
+      val gh = PortableHash.duckSql("array_to_string(ws[i:i+7], ' ')")
+      s"""WITH w8 AS (SELECT doc_id, $duckWords AS ws,
+         |      len($duckWords) - 7 AS n_grams FROM documents
+         |    WHERE len($duckWords) >= 8),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i, $gh AS gh
+         |      FROM w8, unnest(range(1, 256)) r(i) WHERE i <= n_grams),
+         |dp AS (SELECT doc_id, i,
+         |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |       FROM g WHERE gh IN (SELECT gh FROM g GROUP BY gh
+         |                           HAVING COUNT(DISTINCT doc_id) >= 2)),
+         |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM dp GROUP BY doc_id, grp),
+         |pd AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS dup_grams,
+         |         CAST(MAX(run) + 7 AS BIGINT) AS max_span FROM runs GROUP BY doc_id)
+         |SELECT w8.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  COALESCE(dup_grams, 0) AS dup_grams, COALESCE(max_span, 0) AS max_span
+         |FROM w8 LEFT JOIN pd ON w8.doc_id = pd.doc_id ORDER BY w8.doc_id""".stripMargin
+    }) { (s, dir) => spanDup(docs(s, dir)) },
 
     // document chunking (the RAG / training-window step): overlapping
     // 64-token windows at stride 48 per document, entirely map-side (one
