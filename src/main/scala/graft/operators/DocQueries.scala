@@ -824,6 +824,57 @@ object DocQueries {
         .orderBy("lang", "split")
     },
 
+    // DSIR-style importance weighting + resampling (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"),
+    // integer-exact variant: features are hashed token BIGRAMS in 4096
+    // buckets; each bucket's target-likeness is the permille share of its
+    // occurrences coming from the target slice (lang = 'en'); a document's
+    // score is the occurrence-weighted mean bucket permille; the resample
+    // keeps the doc when an independent hash draw falls under score/1000 —
+    // keep probability proportional to target-likeness, zero per-row random
+    // state. Shape for 100 TB: bigram explode is map-side, the bucket table
+    // aggregates to a FIXED 4096 rows (broadcast back), per-doc agg is one
+    // shuffle — no global sort, no driver pass. The 4096-bucket hash table
+    // is DSIR's own dimensionality-reduction device (a modeling constant),
+    // not a data-capacity cap.
+    QueryDef.sql("d_dsir", {
+      val bh = PortableHash.duckSql("(ws[i] || ' ' || ws[i+1])")
+      val hd = PortableHash.duckSql("('dsir:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH w AS (SELECT doc_id, lang, $duckWords AS ws FROM documents
+         |           WHERE len($duckWords) >= 2),
+         |bg AS (SELECT doc_id, lang, $bh % 4096 AS b
+         |       FROM w, unnest(range(1, 256)) r(i) WHERE i <= len(ws) - 1),
+         |bt AS (SELECT b, COUNT(*) AS call,
+         |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ctgt
+         |       FROM bg GROUP BY b),
+         |db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY doc_id, b),
+         |sc AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(cnt * ((1000 * ctgt) // call)) // SUM(cnt) AS BIGINT) AS score
+         |       FROM db JOIN bt USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, score,
+         |  CAST(CASE WHEN $hd % 1000 < score THEN 1 ELSE 0 END AS BIGINT) AS sampled
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bg = docs(s, dir)
+        .select(col("doc_id"), col("lang"), expr(wordsExpr).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+        .select(col("doc_id"), col("lang"),
+          (expr(PortableHash.sparkSql(
+            "concat(element_at(ws, i), ' ', element_at(ws, i + 1))")) % 4096).as("b"))
+      val bt = bg.groupBy("b").agg(count(lit(1)).as("call"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctgt"))
+      val db = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      val hd = expr(PortableHash.sparkSql("('dsir:' || CAST(doc_id AS STRING))"))
+      db.join(broadcast(bt), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          expr("sum(cnt * ((1000 * ctgt) div call)) div sum(cnt)").as("score"))
+        .withColumn("sampled", when(hd % 1000 < col("score"), 1L).otherwise(0L))
+        .select("doc_id", "n_bigrams", "score", "sampled")
+        .orderBy("doc_id")
+    },
+
     // vocabulary build: top-40 words by document frequency with a
     // deterministic tie-break (df DESC, word ASC) — one map-side explode +
     // one DF aggregation + orderBy().limit(), which Spark plans as

@@ -164,6 +164,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CodegenFallback"), p)
   }
 
+  test("dsir: bucket table broadcasts; target-language docs score higher") {
+    val q = operators.DocQueries.defs.find(_.name == "d_dsir").get
+    val df = q.fn(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(3000))
+    // semantic: en docs (the target slice) must average a higher
+    // target-likeness score than the rest of the corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang")
+    val scored = df.join(docs, Seq("doc_id"))
+      .groupBy(col("lang") === "en").agg(avg("score").as("s")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored(true) > scored(false), scored.toString)
+  }
+
   test("tile pyramid: two exchanges total, levels consistent, z=0 is global") {
     val img = sources.ImageTable.df(spark, dir)
     val pyr = operators.GeoQueries.tilePyramid(img).cache()
