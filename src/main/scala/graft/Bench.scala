@@ -191,7 +191,20 @@ object Bench {
           img.select(col("image_id"), col("lon"), col("lat")),
           operators.Pip.polyDf(spark, operators.Pip.benchPolygons),
           operators.Pip.BenchCellSide)
-          .groupBy("pid").agg(count(lit(1)).as("n"))))
+          .groupBy("pid").agg(count(lit(1)).as("n"))),
+        // multi-zoom tile pyramid over the full image frame (two-exchange
+        // rollup: base agg + ancestor explode)
+        "tile_pyramid_1m" -> (() => operators.GeoQueries.tilePyramid(img)),
+        // exact substring-span dedup at 100k docs (20x-replicated corpus,
+        // ~9M gram rows through hash agg + semi-join + islands windows;
+        // replicas make every gram cross-doc duplicated — the worst case)
+        // (repartition before the 20x explode: documents.parquet is one
+        // input split, and the gram explode must not run in one task)
+        "span_dup_100k" -> (() => operators.DocQueries.spanDup(
+          spark.read.parquet(s"$sfDir/documents.parquet").repartition(64)
+            .withColumn("rep", explode(sequence(lit(0), lit(19))))
+            .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+            .select("doc_id", "text"))))
         .filter(e => keep(e._1))
     }
     val extraNames = extra.map(_._1)

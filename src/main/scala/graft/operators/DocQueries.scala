@@ -312,8 +312,12 @@ object DocQueries {
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 7)))
       .select(col("doc_id"), col("i").cast("long").as("i"),
         expr(PortableHash.sparkSql("array_join(slice(ws, i, 8), ' ')")).as("gh"))
+    // "appears in >= 2 distinct docs" as min != max: a one-phase min/max
+    // aggregate combines map-side (the shuffle carries one row per gram
+    // hash), where countDistinct would shuffle every (gh, doc_id) pair
     val dupHashes = g.groupBy("gh")
-      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select("gh")
     val runs = g.join(dupHashes, Seq("gh"), "left_semi")
       .withColumn("grp",
