@@ -198,6 +198,9 @@ object Bench {
         // exact substring-span dedup at 100k docs (20x-replicated corpus,
         // ~9M gram rows through hash agg + semi-join + islands windows;
         // replicas make every gram cross-doc duplicated — the worst case)
+        // iterative Lloyd k-means at 200k vectors, k=64 (2 iterations +
+        // final assignment; per-cluster summary out)
+        "kmeans_200k" -> (() => operators.EmbedQueries.kmeansScaled(spark, sfDir, 100)),
         // (repartition before the 20x explode: documents.parquet is one
         // input split, and the gram explode must not run in one task)
         "span_dup_100k" -> (() => operators.DocQueries.spanDup(

@@ -125,20 +125,32 @@ object EmbedQueries {
   /** The final k-means assignment frame (vec_id, v, j, dist) — kmeans's body,
     * also the cluster key feed for [[semdedup]] / cluster-balanced sampling. */
   private[graft] def kmeansAssign(s: SparkSession, dir: String,
-                                  k: Int = KmK, iters: Int = KmIters): DataFrame = {
+                                  k: Int = KmK, iters: Int = KmIters): DataFrame =
+    kmeansAssignFrom(quantized(s, dir), k, iters)
+
+  /** Lloyd iterations over an arbitrary (vec_id, v) corpus frame. */
+  private[graft] def kmeansAssignFrom(v: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = quantized(s, dir)
     val wInit = Window.orderBy("h", "vec_id")
     var cent = v.withColumn("h", expr(kmHashSql))
       .orderBy("h", "vec_id").limit(k)
       .withColumn("j", row_number().over(wInit).cast("long") - 1L)
       .select(col("j"), col("v").as("c"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("j"))
+    // |v-c|^2 = v.v - 2 v.c + c.c with the squared norms hoisted: v.v is
+    // per-row (computed once, not once per centroid pair) and c.c rides the
+    // k-row broadcast — the per-pair work is ONE 64-dim dot, not three.
+    // The argmin is a map-side-combining min_by aggregate (the PQ-encode
+    // device), NOT a row_number window: the n*k pair frame reduces to n
+    // rows before any shuffle, where a window would shuffle+sort all n*k.
+    // min(struct(dist, j)) is the window's exact (dist, j) tie rule.
     def assign(c: DataFrame): DataFrame =
-      v.crossJoin(broadcast(c))
-        .withColumn("dist", ip("v", "v") - lit(2L) * ip("v", "c") + ip("c", "c"))
-        .withColumn("rk", row_number().over(wA))
-        .filter(col("rk") === 1)
+      v.withColumn("vv", ip("v", "v"))
+        .crossJoin(broadcast(c.withColumn("cc", ip("c", "c"))))
+        .withColumn("dist", col("vv") - lit(2L) * ip("v", "c") + col("cc"))
+        .groupBy("vec_id")
+        .agg(min_by(col("v"), struct(col("dist"), col("j"))).as("v"),
+          min(struct(col("dist"), col("j"))).as("m"))
+        .select(col("vec_id"), col("v"), col("m.j").as("j"), col("m.dist").as("dist"))
     for (_ <- 1 to iters) {
       val asg = assign(cent).select(col("vec_id"), col("v"), col("j"))
       val upd = asg.select(col("j"), posexplode(col("v")).as(Seq("d", "qv")))
@@ -146,7 +158,13 @@ object EmbedQueries {
         .groupBy("j").agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
           x => x.getField("cv")).as("c"))
       // empty clusters keep their previous centroid; both frames are k rows,
-      // so the anti-join is hint-broadcast (SMJ on a k-row frame is waste)
+      // so the anti-join is hint-broadcast (SMJ on a k-row frame is waste).
+      // The chain stays LAZY: cent_{i+1} references cent_i and upd_i twice,
+      // but ReuseExchange dedupes the identical subtrees inside the one
+      // composed plan — measured faster than eager per-round checkpoints,
+      // which re-derive the corpus every round as separate jobs. (At a
+      // production iteration count the k-row frame would checkpoint every
+      // ~8 rounds to bound plan depth, not every round.)
       cent = upd.unionByName(cent.join(broadcast(upd), Seq("j"), "left_anti"))
     }
     assign(cent).select(col("vec_id"), col("v"), col("j"), col("dist"))
@@ -350,16 +368,20 @@ object EmbedQueries {
     * correctness is oracle-gated at base scale by e_ann_topk); this
     * measures the candidate-join shape at hundreds of thousands of
     * vectors instead of 2k. */
-  def annTopkScaled(s: SparkSession, dir: String, mult: Int): DataFrame = {
-    val base = emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
-    // scale-derived bucket width over the REPLICATED corpus size (the count
-    // is of the small base table; the exploded frame is never counted)
-    val nb = annBits(base.count() * mult)
-    val b = base
+  /** The mult-replicated perturbed corpus shared by the scaled bench
+    * variants (vec_id' = id*mult + rep, dim rep%64 nudged by rep%7-3). */
+  private def scaledCorpus(s: SparkSession, dir: String, mult: Int): DataFrame =
+    emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
       .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
       .select(
         (col("vec_id") * mult + col("rep")).as("vec_id"),
         expr("transform(v, (x, i) -> CASE WHEN i = CAST(rep % 64 AS INT) THEN x + rep % 7 - 3 ELSE x END)").as("v"))
+
+  def annTopkScaled(s: SparkSession, dir: String, mult: Int): DataFrame = {
+    // scale-derived bucket width over the REPLICATED corpus size (the count
+    // is of the small base table; the exploded frame is never counted)
+    val nb = annBits(emb(s, dir).count() * mult)
+    val b = scaledCorpus(s, dir, mult)
       .withColumn("bucket", bitsCol(0, nb).cast("long"))
     val q = b.filter(col("vec_id") % (25L * mult) === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
@@ -376,6 +398,17 @@ object EmbedQueries {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk"), col("pid"), col("dot"))
   }
+
+  /** Bench-scale k-means: Lloyd over the replicated corpus at a bench k,
+    * reduced to the per-cluster summary (size + inertia). Correctness is
+    * oracle-gated at base scale by e_kmeans; this measures the iterative
+    * assign/update shape at hundreds of thousands of vectors. The
+    * repartition spreads the single-split explode before the broadcast
+    * cross-join evaluates distances. */
+  def kmeansScaled(s: SparkSession, dir: String, mult: Int, k: Int = 64): DataFrame =
+    kmeansAssignFrom(scaledCorpus(s, dir, mult).repartition(64), k, KmIters)
+      .groupBy("j").agg(count(lit(1)).as("n"), sum("dist").as("inertia"))
+      .orderBy("j")
 
   /** Diagnostic: list-size balance of the IVF assignment at a given nlist:
     * (nlist, non-empty lists, max list size, min non-empty list size). */
