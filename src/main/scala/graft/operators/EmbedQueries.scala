@@ -371,7 +371,11 @@ object EmbedQueries {
   /** The mult-replicated perturbed corpus shared by the scaled bench
     * variants (vec_id' = id*mult + rep, dim rep%64 nudged by rep%7-3). */
   private def scaledCorpus(s: SparkSession, dir: String, mult: Int): DataFrame =
+    // embeddings.parquet is one input split: spread the base BEFORE the
+    // mult-explode so the per-row transform + downstream map-side work
+    // (bucket bits, norms) parallelize instead of running in one task
     emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
+      .repartition(32)
       .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
       .select(
         (col("vec_id") * mult + col("rep")).as("vec_id"),
@@ -406,7 +410,7 @@ object EmbedQueries {
     * repartition spreads the single-split explode before the broadcast
     * cross-join evaluates distances. */
   def kmeansScaled(s: SparkSession, dir: String, mult: Int, k: Int = 64): DataFrame =
-    kmeansAssignFrom(scaledCorpus(s, dir, mult).repartition(64), k, KmIters)
+    kmeansAssignFrom(scaledCorpus(s, dir, mult), k, KmIters)
       .groupBy("j").agg(count(lit(1)).as("n"), sum("dist").as("inertia"))
       .orderBy("j")
 
