@@ -29,7 +29,8 @@ object BigProbe {
         .groupBy("tile").agg(count(lit(1)).as("n"))),
       "pip_mask" -> (() => img
         .select(operators.Pip.mask(col("lon"), col("lat"), operators.Pip.fixtureSet).as("m"))
-        .groupBy("m").agg(count(lit(1)).as("n"))))
+        .groupBy("m").agg(count(lit(1)).as("n"))),
+      "tile_pyramid" -> (() => operators.GeoQueries.tilePyramid(img)))
 
     val (s0, b0) = Bench.cpuTicks()
     val nRows = img.count()
