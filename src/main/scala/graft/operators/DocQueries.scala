@@ -67,7 +67,14 @@ object DocQueries {
     val d = docs(s, dir).select("doc_id", "text")
     val planted = d.filter(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 20000000L)
-    val w = d.unionByName(planted)
+    wordsAndBands(d.unionByName(planted))
+  }
+
+  /** Distinct (doc_id, word) pairs and the minhash band buckets for any
+    * (doc_id, text) frame — the minhash core, reused by the incremental
+    * batch-vs-corpus dedup. */
+  private def wordsAndBands(docsFrame: DataFrame): (DataFrame, DataFrame) = {
+    val w = docsFrame
       .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
       .distinct()
     val h = w.select(col("doc_id"), expr(h60word("word")).as("hw"))
@@ -265,21 +272,28 @@ object DocQueries {
 
   /** The minhash-LSH oracle pipeline as a CTE list ending in `inter` + `sz`
     * (shared verbatim by the d_minhash_lsh and d_dup_groups oracles). */
-  private def minhashOracleCtes: String = {
+  /** Suffix-parameterized minhash signature/band CTEs (w$sfx, h$sfx,
+    * sig$sfx, b$sfx) over any (doc_id, text) source CTE — the oracle twin
+    * of [[wordsAndBands]]. */
+  private def minhashSigCtes(srcCte: String, sfx: String): String = {
     val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
       s"MIN(($a * hw + $b) % $P) AS m$j" }.mkString(", ")
     val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
       val cols = (0 until BandRows).map(r => s"m${BandRows * bd + r}").mkString(" || ':' || ")
-      s"SELECT doc_id, '$bd:' || $cols AS bucket FROM sig"
+      s"SELECT doc_id, '$bd:' || $cols AS bucket FROM sig$sfx"
     }.mkString(" UNION ALL ")
+    s"""w$sfx AS (SELECT DISTINCT doc_id, unnest($duckWords) AS word FROM $srcCte),
+       |h$sfx AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM w$sfx),
+       |sig$sfx AS (SELECT doc_id, $mins FROM h$sfx GROUP BY doc_id),
+       |b$sfx AS ($bands)""".stripMargin
+  }
+
+  private def minhashOracleCtes: String = {
     s"""all_docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
-       |w AS (SELECT DISTINCT doc_id, unnest($duckWords) AS word FROM all_docs),
-       |h AS (SELECT doc_id, ${duckH60word("word")} AS hw FROM w),
-       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-       |b AS ($bands),
+       |${minhashSigCtes("all_docs", "")},
        |okb AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= $LshBucketCap),
        |bc AS (SELECT b.doc_id, b.bucket FROM b JOIN okb USING (bucket)),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -575,6 +589,81 @@ object DocQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), expr("bit_xor(doc_id)").as("kept_xor"))
         .orderBy("lang")
+    },
+
+    // INCREMENTAL near-dup dedup: screen a NEW ingestion batch against the
+    // EXISTING corpus (the shape every continuously-fed pipeline runs —
+    // full-corpus re-dedup per batch is not an option at 100 TB). The
+    // batch plants re-ingested verbatim docs (doc_id % 3 = 0, expected
+    // flagged) and novel docs (doc_id % 3 = 1 truncated to the first half
+    // of their words, Jaccard ~0.5-0.8 vs their source — mostly below the
+    // 0.9 bar). Candidates come from the band-bucket EQUI-join of batch
+    // bands against corpus bands (corpus side capped, oracle-mirrored);
+    // the exact-Jaccard confirm and the 19i >= 9(na+nb) integer form are
+    // the d_minhash_lsh machinery over the (new, old) restriction. At
+    // scale the corpus band table is the precomputed index (bucketed on
+    // disk); only the small batch is signed per run, so the join is
+    // batch-broadcast-sized. Output: per batch doc, match count and the
+    // minimal matching corpus id (-1 = genuinely new).
+    QueryDef.sql("d_incr_dedup", {
+      val half = s"array_to_string(($duckWords)[1:len($duckWords)//2], ' ')"
+      s"""WITH newd AS (
+         |  SELECT doc_id + 30000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000000 AS doc_id, $half AS text
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |${minhashSigCtes("documents", "o")},
+         |${minhashSigCtes("newd", "n")},
+         |okb AS (SELECT bucket FROM bo GROUP BY bucket HAVING COUNT(*) <= $LshBucketCap),
+         |boc AS (SELECT bo.doc_id, bo.bucket FROM bo JOIN okb USING (bucket)),
+         |cand AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+         |         FROM bn n JOIN boc o ON n.bucket = o.bucket),
+         |szn AS (SELECT doc_id, COUNT(*) AS n FROM wn GROUP BY doc_id),
+         |szo AS (SELECT doc_id, COUNT(*) AS n FROM wo GROUP BY doc_id),
+         |inter AS (SELECT c.nid, c.oid, COUNT(*) AS i
+         |          FROM cand c JOIN wn x ON x.doc_id = c.nid
+         |                      JOIN wo y ON y.doc_id = c.oid AND y.word = x.word
+         |          GROUP BY c.nid, c.oid),
+         |conf AS (SELECT i.nid, i.oid FROM inter i
+         |         JOIN szn ON szn.doc_id = i.nid JOIN szo ON szo.doc_id = i.oid
+         |         WHERE 19 * i.i >= 9 * (szn.n + szo.n)),
+         |agg AS (SELECT nid, COUNT(*) AS n_matches, MIN(oid) AS keeper
+         |        FROM conf GROUP BY nid)
+         |SELECT newd.doc_id AS new_id, COALESCE(n_matches, 0) AS n_matches,
+         |  COALESCE(keeper, -1) AS keeper
+         |FROM newd LEFT JOIN agg ON agg.nid = newd.doc_id
+         |ORDER BY new_id""".stripMargin
+    }) { (s, dir) =>
+      val base = docs(s, dir).select("doc_id", "text")
+      val dup = base.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 30000000L)
+      val novel = base.filter(col("doc_id") % 3 === 1)
+        .withColumn("doc_id", col("doc_id") + 30000000L)
+        .withColumn("text",
+          expr(s"array_join(slice($wordsExpr, 1, size($wordsExpr) div 2), ' ')"))
+      val batch = dup.unionByName(novel)
+      val (wOld, bOld) = wordsAndBands(base)
+      val (wNew, bNew) = wordsAndBands(batch)
+      val cand = bNew.as("n")
+        .join(cappedBuckets(bOld, "bucket", LshBucketCap).as("o"), Seq("bucket"))
+        .select(col("n.doc_id").as("nid"), col("o.doc_id").as("oid")).distinct()
+      val szN = wNew.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+      val szO = wOld.groupBy("doc_id").agg(count(lit(1)).as("no"))
+      val conf = cand
+        .join(wNew.select(col("doc_id").as("nid"), col("word")), Seq("nid"))
+        .join(wOld.select(col("doc_id").as("oid"), col("word")), Seq("oid", "word"))
+        .groupBy("nid", "oid").agg(count(lit(1)).as("i"))
+        .join(szN.select(col("doc_id").as("nid"), col("nn")), Seq("nid"))
+        .join(szO.select(col("doc_id").as("oid"), col("no")), Seq("oid"))
+        .filter(lit(19) * col("i") >= lit(9) * (col("nn") + col("no")))
+      val agg = conf.groupBy("nid")
+        .agg(count(lit(1)).as("n_matches"), min("oid").as("keeper"))
+      batch.select(col("doc_id").as("new_id"))
+        .join(agg, col("new_id") === col("nid"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("keeper"), lit(-1L)).as("keeper"))
+        .orderBy("new_id")
     },
 
     // exact substring-span dedup (the Lee et al. "Deduplicating Training

@@ -55,4 +55,22 @@ class SpanDupSpec extends AnyFunSuite {
       8L -> (1 to 10).map(i => s"y$i").mkString(" ")))
     assert(out(7L)._2 == 0L && out(7L)._3 == 0L)
   }
+
+  test("incremental dedup: verbatim re-ingests flagged with their source id") {
+    import org.apache.spark.sql.functions._
+    val q = DocQueries.defs.find(_.name == "d_incr_dedup").get
+    val out = q.fn(spark, "/root/testdata/sf0.001").cache()
+    // every verbatim batch doc (source id % 3 == 0, re-id'd +30M) must match
+    // at least its own source, and the minimal match IS that source (ids
+    // below it are different documents)
+    val verbatim = out.filter((col("new_id") - 30000000L) % 3 === 0)
+    assert(verbatim.filter(col("n_matches") === 0).count() == 0)
+    assert(verbatim.filter(col("keeper") > col("new_id") - 30000000L).count() == 0)
+    // truncated-to-half docs sit mostly below the 0.9 Jaccard bar
+    val novel = out.filter((col("new_id") - 30000000L) % 3 === 1).cache()
+    val novelFlagged = novel.filter(col("n_matches") > 0).count()
+    assert(novelFlagged * 2 < novel.count(),
+      s"$novelFlagged of ${novel.count()} truncated docs flagged")
+    out.unpersist(); novel.unpersist()
+  }
 }
