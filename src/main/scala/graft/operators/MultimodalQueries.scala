@@ -110,6 +110,30 @@ object MultimodalQueries {
         .orderBy("tile")
     },
 
+    // raster mosaic PYRAMID: the decoded-luma rollup through every zoom
+    // level of g_tile_pyramid's quadtree — mapPartitions decode feeds the
+    // base-cell aggregate (the one full shuffle), then the bounded cell
+    // frame explodes ancestor keys into a second tiny groupBy. The decoded
+    // pixels are not SQL-derivable, so the oracle is the frozen expected
+    // table; the rollup arithmetic (sum/sum) is associative by
+    // construction and the geometry is pinned by g_tile_pyramid's oracle.
+    QueryDef.sql("m_mosaic_pyramid", FrozenOracles.mMosaicPyramid) { (s, dir) =>
+      val zmax = GeoQueries.PyrZMax
+      val imgs = ImageTable.withBytes(ImageTable.df(s, dir))
+      val pos = imgs.select(col("image_id"),
+        expr(s"shiftright(CAST(lon AS BIGINT) + 1800000000, ${32 - zmax})").as("cx"),
+        expr(s"shiftright(CAST(lat AS BIGINT) + 900000000, ${31 - zmax})").as("cy"))
+      val base = decoded(imgs).join(pos, Seq("image_id"))
+        .groupBy("cx", "cy")
+        .agg(count(lit(1)).as("n_images"), sum("mean_luma").as("sum_luma"))
+      base.withColumn("z", explode(sequence(lit(0L), lit(zmax.toLong))))
+        .groupBy(col("z"),
+          expr(s"shiftright(cx, $zmax - CAST(z AS INT))").as("cx"),
+          expr(s"shiftright(cy, $zmax - CAST(z AS INT))").as("cy"))
+        .agg(sum("n_images").as("n_images"), sum("sum_luma").as("sum_luma"))
+        .orderBy("z", "cx", "cy")
+    },
+
     // per-row invariant flags (engine-side decode; frozen expected table)
     QueryDef.sql("m_img_invariant", FrozenOracles.mImgInvariant) { (s, dir) =>
       decoded(ImageTable.withBytes(ImageTable.df(s, dir)))

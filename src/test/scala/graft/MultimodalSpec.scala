@@ -54,6 +54,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badCaption.count() == 0)
   }
 
+  test("mosaic pyramid counts equal the pure-column tile pyramid on the same quadtree") {
+    val dir = "/root/testdata/sf0.001"
+    val mosaic = MultimodalQueries.defs.find(_.name == "m_mosaic_pyramid").get
+      .fn(spark, dir).select("z", "cx", "cy", "n_images")
+    val pyr = operators.GeoQueries.tilePyramid(ImageTable.df(spark, dir))
+      .select(col("z"), col("cx"), col("cy"), col("cnt").as("n_images"))
+    // decode-path counts vs pure-column counts: identical cell population
+    assert(mosaic.exceptAll(pyr).isEmpty && pyr.exceptAll(mosaic).isEmpty)
+  }
+
   test("frame sampling: indices are uniform and sampled frames decode pixel-exact") {
     val dir = "/root/testdata/sf0.001"
     val fs = MultimodalQueries.defs.find(_.name == "m_frame_sample").get

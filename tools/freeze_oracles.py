@@ -36,6 +36,9 @@ SPECS = [
     ("m_tile_raster", "mTileRaster", True,
      [("tile", "BIGINT"), ("n_images", "BIGINT"), ("sum_luma", "BIGINT"),
       ("min_luma", "BIGINT"), ("max_luma", "BIGINT")]),
+    ("m_mosaic_pyramid", "mMosaicPyramid", True,
+     [("z", "BIGINT"), ("cx", "BIGINT"), ("cy", "BIGINT"),
+      ("n_images", "BIGINT"), ("sum_luma", "BIGINT")]),
     ("m_audio_window", "mAudioWindow", True,
      [("audio_id", "VARCHAR"), ("n_frames", "BIGINT"), ("mean_ms", "BIGINT"),
       ("peak_ms", "BIGINT"), ("snr_ok", "VARCHAR"), ("lossless_exact", "VARCHAR")]),
