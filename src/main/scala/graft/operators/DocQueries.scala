@@ -314,6 +314,81 @@ object DocQueries {
     (agg.getLong(0), agg.getLong(1))
   }
 
+  /** Per-row hashed word array (the h60word bound) — pure column ops, so
+    * it runs unchanged under readStream. */
+  private[graft] def hashedWordsCol: org.apache.spark.sql.Column =
+    transform(expr(wordsExpr),
+      w => graft.sources.ImageTable.h60(w) % 1000000007L)
+
+  /** The 2 minhash band-bucket strings from a hashed-words column, as pure
+    * column ops (no explode, no groupBy): min over the word MULTISET equals
+    * min over the distinct set, so this reproduces [[wordsAndBands]]'
+    * DISTINCT-based buckets exactly — the streaming-side signature. */
+  private[graft] def rowBandBuckets(hws: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val mins = MinhashSeeds.map { case (a, b) =>
+      array_min(transform(hws, h => (lit(a) * h + lit(b)) % P)) }
+    val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
+      val parts = (0 until BandRows).flatMap(r =>
+        Seq(lit(":"), mins(BandRows * bd + r).cast("string"))).tail
+      concat(lit(s"$bd:") +: parts: _*)
+    }
+    array(bands: _*)
+  }
+
+  /** Static corpus index for the incremental screen: the capped band index
+    * and the per-doc distinct word sets — the build side of the
+    * stream-static join (at scale: the precomputed on-disk index). */
+  def corpusBandIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val (w, b) = wordsAndBands(base)
+    (cappedBuckets(b, "bucket", LshBucketCap),
+      w.groupBy("doc_id").agg(collect_set("word").as("ows")))
+  }
+
+  /** The stream-side incremental screen over a (doc_id, text) batch frame:
+    * per-row signature (no shuffle), band explode, stream-static equi-join
+    * against the corpus index, exact-Jaccard confirm on the carried word
+    * sets — every step stateless, so the ONE allowed streaming aggregation
+    * is the final per-doc match summary (collect_set stands in for the
+    * distinct aggregate streaming disallows). */
+  def incrScreen(batch: DataFrame, bandIdx: DataFrame, wordSets: DataFrame): DataFrame = {
+    val cand = batch
+      .withColumn("nws", array_distinct(expr(wordsExpr)))
+      .withColumn("hws", hashedWordsCol)
+      .withColumn("bucket", explode(rowBandBuckets(col("hws"))))
+      .select(col("doc_id").as("new_id"), col("nws"), col("bucket"))
+      .join(bandIdx, Seq("bucket"))
+      .select(col("new_id"), col("nws"), col("doc_id").as("oid"))
+      .join(wordSets.select(col("doc_id").as("oid"), col("ows")), Seq("oid"))
+    cand
+      .filter(lit(19) * size(array_intersect(col("nws"), col("ows"))) >=
+        lit(9) * (size(col("nws")) + size(col("ows"))))
+      .groupBy("new_id").agg(collect_set("oid").as("matches"))
+      .select(col("new_id"),
+        size(col("matches")).cast("long").as("n_matches"),
+        array_min(col("matches")).as("keeper"))
+  }
+
+  /** Oracle-side twin of the incremental screen for a given batch CTE —
+    * shared by d_incr_dedup-style gates and the streaming variant. */
+  private[graft] def incrScreenOracleSql(newdCte: String): String =
+    s"""WITH newd AS ($newdCte),
+       |${minhashSigCtes("documents", "o")},
+       |${minhashSigCtes("newd", "n")},
+       |okb AS (SELECT bucket FROM bo GROUP BY bucket HAVING COUNT(*) <= $LshBucketCap),
+       |boc AS (SELECT bo.doc_id, bo.bucket FROM bo JOIN okb USING (bucket)),
+       |cand AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |         FROM bn n JOIN boc o ON n.bucket = o.bucket),
+       |szn AS (SELECT doc_id, COUNT(*) AS n FROM wn GROUP BY doc_id),
+       |szo AS (SELECT doc_id, COUNT(*) AS n FROM wo GROUP BY doc_id),
+       |inter AS (SELECT c.nid, c.oid, COUNT(*) AS i
+       |          FROM cand c JOIN wn x ON x.doc_id = c.nid
+       |                      JOIN wo y ON y.doc_id = c.oid AND y.word = x.word
+       |          GROUP BY c.nid, c.oid),
+       |conf AS (SELECT i.nid, i.oid FROM inter i
+       |         JOIN szn ON szn.doc_id = i.nid JOIN szo ON szo.doc_id = i.oid
+       |         WHERE 19 * i.i >= 9 * (szn.n + szo.n))""".stripMargin
+
   /** Exact 8-token substring-span dedup over a (doc_id, text) frame — the
     * d_span_dup body (see the QueryDef comment for semantics and the 100 TB
     * shape). Extracted so specs can feed planted fixtures. */

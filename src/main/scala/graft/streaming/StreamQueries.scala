@@ -186,6 +186,35 @@ object StreamQueries {
           .groupBy("mask").agg(count(lit(1)).as("n"))
           .writeStream
       }(_.orderBy("mask"))
+    },
+
+    // streaming INCREMENTAL dedup: the batch-vs-corpus near-dup screen
+    // (d_incr_dedup) running inside micro-batches — per-row minhash
+    // signatures as pure column ops (min over the word multiset = min over
+    // the set, so no DISTINCT/groupBy is needed before the join), band
+    // explode, stream-STATIC equi-join against the precomputed corpus band
+    // index, exact-Jaccard confirm on carried word sets; the one streaming
+    // aggregation is the final per-doc summary (collect_set stands in for
+    // the distinct aggregate streaming disallows). This is the ingestion
+    // shape: the corpus index is the static build side, each arriving doc
+    // is screened without touching corpus text.
+    QueryDef.sql("s_stream_incr_dedup",
+      graft.operators.DocQueries.incrScreenOracleSql(
+        "SELECT doc_id + 30000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0") +
+        """
+          |SELECT nid AS new_id, COUNT(*) AS n_matches, MIN(oid) AS keeper
+          |FROM conf GROUP BY nid ORDER BY new_id""".stripMargin) { (s, dir) =>
+      val (bandIdx, wordSets) = graft.operators.DocQueries.corpusBandIndex(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      drain(s, "complete") { _ =>
+        graft.operators.DocQueries.incrScreen(
+            s.readStream.schema(schema).parquet(staged(dir, "documents"))
+              .filter(col("doc_id") % 3 === 0)
+              .withColumn("doc_id", col("doc_id") + 30000000L)
+              .select("doc_id", "text"),
+            bandIdx, wordSets)
+          .writeStream
+      }(_.orderBy("new_id"))
     }
   )
 }

@@ -56,6 +56,18 @@ class SpanDupSpec extends AnyFunSuite {
     assert(out(7L)._2 == 0L && out(7L)._3 == 0L)
   }
 
+  test("streaming incremental screen agrees with the batch operator") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.StreamQueries.defs
+      .find(_.name == "s_stream_incr_dedup").get.fn(spark, dir)
+    // batch d_incr_dedup restricted to the verbatim slice, matched rows only
+    val batch = DocQueries.defs.find(_.name == "d_incr_dedup").get.fn(spark, dir)
+      .filter((col("new_id") - 30000000L) % 3 === 0 && col("n_matches") > 0)
+      .select("new_id", "n_matches", "keeper")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("incremental dedup: verbatim re-ingests flagged with their source id") {
     import org.apache.spark.sql.functions._
     val q = DocQueries.defs.find(_.name == "d_incr_dedup").get
