@@ -74,6 +74,11 @@ object DocQueries {
     * (doc_id, text) frame — the minhash core, reused by the incremental
     * batch-vs-corpus dedup. */
   private def wordsAndBands(docsFrame: DataFrame): (DataFrame, DataFrame) = {
+    // NOT spread before the explode: unlike the scaled-embedding corpus
+    // (32 hyperplane dots per row pre-shuffle), the word explode feeds the
+    // distinct shuffle immediately and the per-row work is one md5 — an
+    // A/B measured a pre-explode repartition 0.4 s SLOWER (minhash_lsh
+    // 1.88 -> 2.34 s) because the extra exchange dominates
     val w = docsFrame
       .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
       .distinct()
