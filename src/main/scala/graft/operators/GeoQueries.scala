@@ -115,6 +115,39 @@ object GeoQueries {
       .orderBy("z", "cx", "cy")
   }
 
+  /** Per-polygon exact double-area and reference orientation over a
+    * (pid, lons, lats) ring frame — g_poly_area's body. Area is the
+    * shoelace sum TRANSLATED to the first vertex (raw world-coordinate
+    * cross terms reach ~1.6e18 each and their running sum can overflow
+    * Long before cancellation; translated deltas are bounded by the ring
+    * span, products <= ~6e16). Orientation deliberately replays the
+    * reference's Int-overflow quirk (Area.java:128-135 computes
+    * (lon[j]-lon[i])*(lat[j]+lat[i]) in 32-bit): both engines run the same
+    * wrap-to-int32 arithmetic, here via pmod on Longs (ANSI-safe). */
+  def polyArea(polys: DataFrame): DataFrame = {
+    def w32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(c + 2147483648L, lit(4294967296L)) - 2147483648L
+    val e = polys
+      .withColumn("n", size(col("lons")))
+      .withColumn("x0", col("lons").getItem(0).cast("long"))
+      .withColumn("y0", col("lats").getItem(0).cast("long"))
+      .withColumn("i", explode(sequence(lit(0), col("n") - 1)))
+      .select(col("pid"), col("n"), col("x0"), col("y0"),
+        element_at(col("lons"), col("i") + 1).cast("long").as("x1"),
+        element_at(col("lats"), col("i") + 1).cast("long").as("y1"),
+        element_at(col("lons"), (col("i") + 1) % col("n") + 1).cast("long").as("x2"),
+        element_at(col("lats"), (col("i") + 1) % col("n") + 1).cast("long").as("y2"))
+    e.groupBy("pid").agg(
+        first(col("n")).cast("long").as("n_vertices"),
+        abs(sum((col("x1") - col("x0")) * (col("y2") - col("y0"))
+          - (col("x2") - col("x0")) * (col("y1") - col("y0")))).as("area2"),
+        when(sum(w32(w32(col("x2") - col("x1")) * w32(col("y2") + col("y1")))) >= 0,
+          "cw").otherwise("ccw").as("orient"))
+      .select(col("pid").cast("long").as("pid"), col("n_vertices"),
+        col("area2"), col("orient"))
+      .orderBy("pid")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql("g_geotag",
@@ -376,6 +409,29 @@ object GeoQueries {
         .select(col("cx"), col("cy"), col("cnt"), col("smooth"))
         .orderBy("cx", "cy")
     },
+
+    // polygon area + orientation (see polyArea): the oracle runs the same
+    // translated shoelace and wrap32 quirk arithmetic over a literal edge
+    // table generated from the 96-ring fixture
+    QueryDef.sql("g_poly_area", {
+      val rows = Pip.manyPolygons.flatMap { p =>
+        val n = p.lon.length
+        (0 until n).map { i =>
+          val j = (i + 1) % n
+          s"(${p.id}, ${p.lon(0)}, ${p.lat(0)}, ${p.lon(i)}, ${p.lat(i)}, ${p.lon(j)}, ${p.lat(j)})"
+        }
+      }.mkString(",\n")
+      val w32 = (v: String) =>
+        s"(((($v) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648)"
+      s"""WITH e(pid, x0, y0, x1, y1, x2, y2) AS (VALUES
+         |$rows)
+         |SELECT CAST(pid AS BIGINT) AS pid, COUNT(*) AS n_vertices,
+         |  CAST(ABS(SUM(CAST(x1 - x0 AS BIGINT) * (y2 - y0)
+         |    - CAST(x2 - x0 AS BIGINT) * (y1 - y0))) AS BIGINT) AS area2,
+         |  CASE WHEN SUM(${w32(w32("CAST(x2 AS BIGINT) - x1") + " * " + w32("CAST(y2 AS BIGINT) + y1"))}) >= 0
+         |    THEN 'cw' ELSE 'ccw' END AS orient
+         |FROM e GROUP BY pid ORDER BY pid""".stripMargin
+    }) { (s, dir) => polyArea(Pip.polyDf(s, Pip.manyPolygons)) },
 
     // tile pyramid (see tilePyramid): engine = base agg + ancestor-explode
     // rollup; oracle = one direct GROUP BY per level from the raw rows

@@ -180,6 +180,24 @@ class PipJoinSpec extends AnyFunSuite {
     assert(rows.toSet == Set((0L, 1L), (0L, 2L), (3L, 4L)), rows.toString)
   }
 
+  test("polyArea: orientation matches Geo.isClockwise, area matches direct shoelace") {
+    val out = graft.operators.GeoQueries.polyArea(Pip.polyDf(spark, Pip.manyPolygons))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    Pip.manyPolygons.foreach { p =>
+      // translated exact shoelace over the heap arrays
+      val n = p.lon.length
+      var s = BigInt(0)
+      for (i <- 0 until n) {
+        val j = (i + 1) % n
+        s += BigInt(p.lon(i) - p.lon(0)) * (p.lat(j) - p.lat(0)) -
+          BigInt(p.lon(j) - p.lon(0)) * (p.lat(i) - p.lat(0))
+      }
+      val (area2, orient) = out(p.id.toLong)
+      assert(area2 == s.abs.toLong, s"pid ${p.id}")
+      assert(orient == (if (Geo.isClockwise(p.lon, p.lat)) "cw" else "ccw"), s"pid ${p.id}")
+    }
+  }
+
   test("plan: equi-join candidates; only the bounded level fan-out nests") {
     import spark.implicits._
     val df = Pip.pipJoin(
