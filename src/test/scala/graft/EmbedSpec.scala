@@ -343,6 +343,18 @@ class EmbedSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("semdedup self-join reuses the Lloyd chain's exchanges at runtime") {
+    // the a/b sides of the pair join each reference the full k-means
+    // assignment; AQE must serve them from the SAME shuffle stages rather
+    // than executing the iterative chain twice
+    val df = EmbedQueries.semdedup(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(reused >= 2, s"expected the doubled Lloyd subtrees to reuse exchanges: $reused\n" +
+      p.take(1500))
+  }
+
   test("cluster sample: per-cluster quota respected, ranks dense from 1") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
