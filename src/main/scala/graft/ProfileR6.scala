@@ -130,6 +130,24 @@ object ProfileR6 {
           .filter(col("mn") =!= col("mx")).select("gh"))
       t("sd: full spanDup (current)")(operators.DocQueries.spanDup(input))
 
+      // decompose the NEW shape
+      val gNew = w8
+        .withColumn("hws", transform(col("ws"), w => xxhash64(w)))
+        .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 7)))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          xxhash64(slice(col("hws"), col("i"), lit(8))).as("gh"))
+      val dupNew = gNew.groupBy("gh")
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        .filter(col("mn") =!= col("mx")).select("gh")
+      t("sd: NEW dup-gram agg")(dupNew)
+      t("sd: NEW semi-join only")(gNew.join(dupNew, Seq("gh"), "left_semi"))
+      t("sd: NEW semi-join + islands agg")(
+        gNew.join(dupNew, Seq("gh"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("dup_grams"),
+            (graft.plans.MaxConsecRun(sort_array(collect_list(col("i")))) + lit(7L)).as("max_span")))
+      t("sd: full spanDup NEW")(operators.DocQueries.spanDup(input))
+
       // candidate full variant: xxhash grams + single computation via checkpoint
       def spanDupXx(d: DataFrame): DataFrame = {
         import org.apache.spark.sql.expressions.Window

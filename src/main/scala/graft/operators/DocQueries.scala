@@ -394,32 +394,71 @@ object DocQueries {
        |         JOIN szn ON szn.doc_id = i.nid JOIN szo ON szo.doc_id = i.oid
        |         WHERE 19 * i.i >= 9 * (szn.n + szo.n))""".stripMargin
 
+  /** Duplicated-gram-hash sets at or under this row count ride a broadcast
+    * in [[spanDup]]'s semi-join (4M hashes ~ 32 MB built); above it the
+    * shuffle join holds. */
+  val SpanDupBroadcastCap: Long = 1L << 22
+
   /** Exact 8-token substring-span dedup over a (doc_id, text) frame — the
     * d_span_dup body (see the QueryDef comment for semantics and the 100 TB
     * shape). Extracted so specs can feed planted fixtures. */
   def spanDup(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // gram identity via composed xxhash64 (per-word pre-hash once per doc,
+    // then one hash of each 8-long slice) instead of the former
+    // md5-derived h60 over the joined gram STRING: the hash never reaches
+    // the output — only gram EQUALITY matters — so any collision-free hash
+    // yields the identical result (the DuckDB oracle keeps its own md5
+    // formulation and the d_span_dup gate verifies the equivalence at
+    // every scale; a 64-bit collision across distinct grams is ~1e-7 at
+    // 10^6 grams). xxhash64 is a native codegen hash an order of magnitude
+    // cheaper per gram than md5 + hex conv, and hashing the pre-hashed
+    // slice avoids re-building + re-scanning the ~50-byte gram string.
     val w8 = d.select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 8)
-      .withColumn("n_grams", (size(col("ws")) - 7).cast("long"))
+    // the gram frame is PINNED: three consumers below (the dup-hash
+    // aggregate, the semi-join probe side, and the per-doc gram counts)
+    // would otherwise each re-run the tokenize+explode+hash pipeline —
+    // the operator's dominant map-side cost — as separate subplans
     val g = w8
+      .withColumn("hws", transform(col("ws"), w => xxhash64(w)))
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 7)))
       .select(col("doc_id"), col("i").cast("long").as("i"),
-        expr(PortableHash.sparkSql("array_join(slice(ws, i, 8), ' ')")).as("gh"))
+        xxhash64(slice(col("hws"), col("i"), lit(8))).as("gh"))
+      .localCheckpoint()
+    // n_grams = size(ws) - 7 = exactly the gram rows a doc contributes, so
+    // the per-doc total comes from the pinned frame — no second tokenize
+    val docsN = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     // "appears in >= 2 distinct docs" as min != max: a one-phase min/max
     // aggregate combines map-side (the shuffle carries one row per gram
-    // hash), where countDistinct would shuffle every (gh, doc_id) pair
+    // hash), where countDistinct would shuffle every (gh, doc_id) pair.
+    // Pinned so the adaptive side-switch below can count it without
+    // re-running the aggregation.
     val dupHashes = g.groupBy("gh")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("gh")
-    val runs = g.join(dupHashes, Seq("gh"), "left_semi")
-      .withColumn("grp",
-        col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
-      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
-    val pd = runs.groupBy("doc_id")
-      .agg(sum("run").as("dup_grams"), (max("run") + 7).as("max_span"))
-    w8.select("doc_id", "n_grams").join(pd, Seq("doc_id"), "left")
+      .localCheckpoint()
+    // scale-adaptive semi-join side (the ccLabels device): the duplicated
+    // gram-hash set is 8 bytes/row — under the cap it BROADCASTS, so the
+    // 8n-row gram frame is never shuffled for the join and stays in the
+    // input's doc-aligned partitioning, where the per-doc islands
+    // aggregation below combines map-side to one row per doc before its
+    // exchange (the former shuffle semi-join moved every gram row twice:
+    // once to gh partitions for the join, once back to doc partitions).
+    // Above the cap the shuffle join is the only shape that holds.
+    val dupSide =
+      if (dupHashes.count() <= SpanDupBroadcastCap) broadcast(dupHashes) else dupHashes
+    // gaps-and-islands per doc over the duplicated positions: ONE hash
+    // aggregation collecting each doc's sorted position array + the
+    // codegen MaxConsecRun scan — the former window formulation paid a
+    // full exchange+SORT of every duplicated gram row plus two grouped
+    // aggregations for the same numbers (dup_grams = count of duplicated
+    // positions; max_span = longest consecutive run + 7)
+    val pd = g.join(dupSide, Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_grams"),
+        (graft.plans.MaxConsecRun(sort_array(collect_list(col("i")))) + lit(7L)).as("max_span"))
+    docsN.join(pd, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
         coalesce(col("max_span"), lit(0L)).as("max_span"))
