@@ -219,26 +219,45 @@ object ProfileR6 {
       t("dj: 5-cell variant")(distJoin5(img, r))
     }
 
-    // ---- minhash_lsh ------------------------------------------------------
+    // ---- minhash_lsh (new per-row-kernel shape) ---------------------------
     if (which("minhash")) {
       val d0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
       val planted = d0.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 20000000L)
       val all = d0.unionByName(planted)
       val wordsExpr = "regexp_extract_all(text, '\\\\S+', 0)"
-      val w = all.select(col("doc_id"), explode(expr(wordsExpr)).as("word")).distinct()
-      t("mh: words distinct")(w)
-      val h = w.select(col("doc_id"),
-        expr(s"(${core.PortableHash.sparkSql("word")} % 1000000007)").as("hw"))
-      t("mh: + word md5 hash")(h)
-      val seeds = (0 until 32).map(j => (2L * j + 3, 12345L + 777L * j))
-      val minCols = seeds.zipWithIndex.map { case ((a, b), j) =>
-        min((lit(a) * col("hw") + lit(b)) % 1000000007L).as(s"m$j") }
-      val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      t("mh: + sig 32 mins")(sig)
-      t("mh: full d_minhash_lsh")(
-        operators.DocQueries.defs.find(_.name == "d_minhash_lsh").get.fn(spark, sfDir)
-          .limit(1000000))
+      val withWs = all
+        .withColumn("ws", expr(wordsExpr))
+        .filter(size(col("ws")) > 0)
+        .withColumn("words", array_distinct(col("ws")))
+        .withColumn("n", size(col("words")).cast("long"))
+      val wsets = withWs.select(col("doc_id"), col("n"), col("words"))
+      t("mh: wsets map")(wsets)
+      val bands = withWs.select(col("doc_id"), col("n"),
+        explode(graft.plans.MinhashBands(col("ws"), operators.DocQueries.mhKernel)).as("bucket"))
+      t("mh: bands map (kernel)")(bands)
+      val ok = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 256).select("bucket")
+      val bc = bands.join(ok, Seq("bucket"), "left_semi")
+      t("mh: bc capped")(bc)
+      val cand = bc.as("x").join(bc.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.n").as("na"), col("y.n").as("nb"))
+        .distinct()
+      t("mh: cand")(cand)
+      val inter = cand
+        .join(wsets.select(col("doc_id").as("a"), col("words").as("wa")), Seq("a"))
+        .join(wsets.select(col("doc_id").as("b"), col("words").as("wb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("wa"), col("wb"))).cast("long").as("i"),
+          col("na"), col("nb"))
+      t("mh: inter (array_intersect)")(inter)
+      val fullDf = operators.DocQueries.defs.find(_.name == "d_minhash_lsh").get.fn(spark, sfDir)
+        .limit(1000000)
+      t("mh: full d_minhash_lsh a")(fullDf)
+      t("mh: full d_minhash_lsh b")(fullDf)
+      t("mh: full d_minhash_lsh c")(fullDf)
     }
 
     spark.stop()

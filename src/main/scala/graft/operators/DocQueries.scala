@@ -61,62 +61,103 @@ object DocQueries {
     bands.join(ok, Seq(bucketCol), "left_semi")
   }
 
-  /** (doc_id, word) sets and the minhash band-bucket assignment shared by
+  /** Per-doc word sets and the minhash band-bucket assignment shared by
     * the d_minhash_lsh query and the bucket diagnostics. */
-  private def minhashWordsAndBands(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def minhashWordsAndBands(s: SparkSession, dir: String,
+                                   pin: Boolean = false): (DataFrame, DataFrame) = {
     val d = docs(s, dir).select("doc_id", "text")
     val planted = d.filter(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 20000000L)
-    wordsAndBands(d.unionByName(planted))
+    wordsAndBands(d.unionByName(planted), pin)
   }
 
-  /** Distinct (doc_id, word) pairs and the minhash band buckets for any
-    * (doc_id, text) frame — the minhash core, reused by the incremental
-    * batch-vs-corpus dedup. */
-  private def wordsAndBands(docsFrame: DataFrame): (DataFrame, DataFrame) = {
-    // NOT spread before the explode: unlike the scaled-embedding corpus
-    // (32 hyperplane dots per row pre-shuffle), the word explode feeds the
-    // distinct shuffle immediately and the per-row work is one md5 — an
-    // A/B measured a pre-explode repartition 0.4 s SLOWER (minhash_lsh
-    // 1.88 -> 2.34 s) because the extra exchange dominates
-    val w = docsFrame
-      .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
-      .distinct()
-    val h = w.select(col("doc_id"), expr(h60word("word")).as("hw"))
-    val minCols = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * col("hw") + lit(b)) % P).as(s"m$j")
-    }
-    val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // one explode pass, not a per-band union (a union re-executes the
-    // whole word-explode + minhash aggregation once per band)
-    val bandCols = (0 until MinhashSeeds.length / BandRows).map { bd =>
-      val parts = (0 until BandRows).flatMap(r =>
-        Seq(lit(":"), col(s"m${BandRows * bd + r}").cast("string"))).tail
-      concat(lit(s"$bd:") +: parts: _*)
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
-    (w, bands)
+  /** The per-row minhash kernel instance (32 hashes, 2 bands x 16 rows). */
+  private[graft] lazy val mhKernel = new graft.plans.MinhashBandsKernel(
+    MinhashSeeds.map(_._1).toArray, MinhashSeeds.map(_._2).toArray, P, BandRows)
+
+  /** Per-doc distinct word ARRAYS (doc_id, n, words) and the minhash band
+    * buckets (doc_id, n, bucket) for any (doc_id, text) frame — the
+    * minhash core, reused by the incremental batch-vs-corpus dedup.
+    *
+    * Round-6 shape: BOTH frames are pure per-row column maps — zero
+    * exchanges. The band buckets come from the native MinhashBands kernel
+    * over the raw word multiset (min over the multiset == min over the
+    * distinct set, so the buckets are bit-identical to the former
+    * explode + DISTINCT + md5 + 32-min-groupBy formulation, which paid
+    * two full exchanges of every word pair — and paid them once per
+    * subplan reference, up to 4x, because most references sit inside
+    * broadcast builds that runtime exchange reuse cannot serve). n is the
+    * distinct word count (the Jaccard denominators) and `words` the
+    * distinct word array (the intersection input), both per-row
+    * array ops. Docs with zero words are excluded exactly as the old
+    * signature aggregation excluded them (no word rows -> no sig row).
+    *
+    * pin = true additionally pins both frames for callers that reference
+    * them from many subplans AND are benched construction+execution
+    * together (d_dup_groups); d_minhash_lsh stays fully in-plan so the
+    * headline bench keeps timing the whole pipeline per action.
+    */
+  private def wordsAndBands(docsFrame: DataFrame, pin: Boolean = false): (DataFrame, DataFrame) = {
+    def maybePin(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    // spread a narrow input first: documents.parquet is one split and the
+    // per-row shape has NO downstream exchange to redistribute the work,
+    // so without this every tokenize+kernel map would run in one task (the
+    // old explode+DISTINCT shape parallelized as a side effect of its
+    // first shuffle). A wide input at scale keeps its own partitioning.
+    val para = docsFrame.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docsFrame.rdd.getNumPartitions < para) docsFrame.repartition(para)
+      else docsFrame
+    val withWs = spread
+      .withColumn("ws", expr(wordsExpr))
+      .filter(size(col("ws")) > 0)
+      .withColumn("words", array_distinct(col("ws")))
+      .withColumn("n", size(col("words")).cast("long"))
+    val wsets = maybePin(withWs.select(col("doc_id"), col("n"), col("words")))
+    val bands = maybePin(withWs.select(col("doc_id"), col("n"),
+      explode(graft.plans.MinhashBands(col("ws"), mhKernel)).as("bucket")))
+    (wsets, bands)
   }
 
   /** Confirmed near-dup pairs (a < b, J >= 0.9) — the shared core of
     * d_minhash_lsh and the connected-components grouping d_dup_groups.
     * Columns: a, b, i, na, nb.
     */
-  private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
-    val (w, bands) = minhashWordsAndBands(s, dir)
-    val bc = cappedBuckets(bands, "bucket", LshBucketCap)
+  private def minhashConfirmedPairs(s: SparkSession, dir: String,
+                                    pin: Boolean = false): DataFrame = {
+    val (wsets, bands) = minhashWordsAndBands(s, dir, pin)
+    // hot-bucket cap as a count-over-bucket WINDOW instead of the
+    // aggregate + broadcast-semi-join pair: the self-join below needs the
+    // band rows partitioned (and, for a sort-merge, sorted) by bucket
+    // anyway, so the window's exchange is the join's exchange — both
+    // sides of the self-join reference the identical subtree and reuse
+    // ONE shuffle stage, where the semi-join shape paid an extra
+    // aggregation exchange plus a broadcast build per side. Same rows
+    // kept (group size <= cap), oracle unchanged.
+    val wCap = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val bc = bands.withColumn("bn", count(lit(1)).over(wCap))
+      .filter(col("bn") <= LshBucketCap).drop("bn")
+    // na/nb ride the candidate rows (computed in the per-row band map) —
+    // no separate size frame, no extra joins
     val cand = bc.as("x").join(bc.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .distinct()
-    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact-Jaccard confirm on the per-doc distinct word ARRAYS:
+    // i = |intersection| via array_intersect per candidate pair — two
+    // equi-joins on the doc id attach the arrays; the former formulation
+    // re-joined every exploded (doc_id, word) row on (doc, word), a
+    // shuffle of the whole word multiset per side. A pair with no common
+    // words yields i = 0, which the J >= 0.9 filter drops exactly as the
+    // former inner word-join dropped it (na, nb >= 1 by construction).
     val inter = cand
-      .join(w.select(col("doc_id").as("a"), col("word")), Seq("a"))
-      .join(w.select(col("doc_id").as("b"), col("word")), Seq("b", "word"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(wsets.select(col("doc_id").as("a"), col("words").as("wa")), Seq("a"))
+      .join(wsets.select(col("doc_id").as("b"), col("words").as("wb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long").as("i"),
+        col("na"), col("nb"))
     inter
-      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .filter(lit(19) * col("i") >= lit(9) * (col("na") + col("nb")))
       .select("a", "b", "i", "na", "nb")
   }
@@ -156,7 +197,11 @@ object DocQueries {
 
   private[graft] def dupLabels(s: SparkSession, dir: String,
                                localCap: Long = LocalCcEdgeCap): DataFrame = {
-    val pairs = minhashConfirmedPairs(s, dir).select("a", "b")
+    // pin = true: the edge frame is re-derived and checkpointed anyway,
+    // and the pair pipeline's word/band frames are referenced from many
+    // subplans — pinning them keeps construction to one pass each (this
+    // caller's bench entry times construction + execution together)
+    val pairs = minhashConfirmedPairs(s, dir, pin = true).select("a", "b")
     // both edge directions from ONE pass: the former
     // `pairs.select(a,b) union pairs.select(b,a)` re-executed the entire
     // minhash pair pipeline (bands, candidate join, Jaccard confirm —
@@ -168,7 +213,11 @@ object DocQueries {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    ccLabels(s, edges, localCap)
+    val out = ccLabels(s, edges, localCap)
+    // ccLabels materialized the edge frame, so the pair pipeline's pinned
+    // word/band frames (unreachable from the returned labels) go now
+    graft.core.Caching.freeLocalCheckpoints(pairs)
+    out
   }
 
   /** Connected-component labels (id -> min id of its component) over a
@@ -319,48 +368,28 @@ object DocQueries {
     (agg.getLong(0), agg.getLong(1))
   }
 
-  /** Per-row hashed word array (the h60word bound) — pure column ops, so
-    * it runs unchanged under readStream. */
-  private[graft] def hashedWordsCol: org.apache.spark.sql.Column =
-    transform(expr(wordsExpr),
-      w => graft.sources.ImageTable.h60(w) % 1000000007L)
-
-  /** The 2 minhash band-bucket strings from a hashed-words column, as pure
-    * column ops (no explode, no groupBy): min over the word MULTISET equals
-    * min over the distinct set, so this reproduces [[wordsAndBands]]'
-    * DISTINCT-based buckets exactly — the streaming-side signature. */
-  private[graft] def rowBandBuckets(hws: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val mins = MinhashSeeds.map { case (a, b) =>
-      array_min(transform(hws, h => (lit(a) * h + lit(b)) % P)) }
-    val bands = (0 until MinhashSeeds.length / BandRows).map { bd =>
-      val parts = (0 until BandRows).flatMap(r =>
-        Seq(lit(":"), mins(BandRows * bd + r).cast("string"))).tail
-      concat(lit(s"$bd:") +: parts: _*)
-    }
-    array(bands: _*)
-  }
-
   /** Static corpus index for the incremental screen: the capped band index
     * and the per-doc distinct word sets — the build side of the
     * stream-static join (at scale: the precomputed on-disk index). */
   def corpusBandIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = docs(s, dir).select("doc_id", "text")
-    val (w, b) = wordsAndBands(base)
+    val (wsets, b) = wordsAndBands(base)
     (cappedBuckets(b, "bucket", LshBucketCap),
-      w.groupBy("doc_id").agg(collect_set("word").as("ows")))
+      wsets.select(col("doc_id"), col("words").as("ows")))
   }
 
   /** The stream-side incremental screen over a (doc_id, text) batch frame:
-    * per-row signature (no shuffle), band explode, stream-static equi-join
-    * against the corpus index, exact-Jaccard confirm on the carried word
-    * sets — every step stateless, so the ONE allowed streaming aggregation
-    * is the final per-doc match summary (collect_set stands in for the
-    * distinct aggregate streaming disallows). */
+    * per-row signature (the native MinhashBands kernel — no shuffle),
+    * band explode, stream-static equi-join against the corpus index,
+    * exact-Jaccard confirm on the carried word sets — every step
+    * stateless, so the ONE allowed streaming aggregation is the final
+    * per-doc match summary (collect_set stands in for the distinct
+    * aggregate streaming disallows). */
   def incrScreen(batch: DataFrame, bandIdx: DataFrame, wordSets: DataFrame): DataFrame = {
     val cand = batch
       .withColumn("nws", array_distinct(expr(wordsExpr)))
-      .withColumn("hws", hashedWordsCol)
-      .withColumn("bucket", explode(rowBandBuckets(col("hws"))))
+      .withColumn("bucket",
+        explode(graft.plans.MinhashBands(expr(wordsExpr), mhKernel)))
       .select(col("doc_id").as("new_id"), col("nws"), col("bucket"))
       .join(bandIdx, Seq("bucket"))
       .select(col("new_id"), col("nws"), col("doc_id").as("oid"))
@@ -763,17 +792,16 @@ object DocQueries {
       val batch = dup.unionByName(novel)
       val (wOld, bOld) = wordsAndBands(base)
       val (wNew, bNew) = wordsAndBands(batch)
+      // sizes ride the band rows; the Jaccard confirm intersects the
+      // per-doc word arrays (same device as minhashConfirmedPairs)
       val cand = bNew.as("n")
         .join(cappedBuckets(bOld, "bucket", LshBucketCap).as("o"), Seq("bucket"))
-        .select(col("n.doc_id").as("nid"), col("o.doc_id").as("oid")).distinct()
-      val szN = wNew.groupBy("doc_id").agg(count(lit(1)).as("nn"))
-      val szO = wOld.groupBy("doc_id").agg(count(lit(1)).as("no"))
+        .select(col("n.doc_id").as("nid"), col("o.doc_id").as("oid"),
+          col("n.n").as("nn"), col("o.n").as("no")).distinct()
       val conf = cand
-        .join(wNew.select(col("doc_id").as("nid"), col("word")), Seq("nid"))
-        .join(wOld.select(col("doc_id").as("oid"), col("word")), Seq("oid", "word"))
-        .groupBy("nid", "oid").agg(count(lit(1)).as("i"))
-        .join(szN.select(col("doc_id").as("nid"), col("nn")), Seq("nid"))
-        .join(szO.select(col("doc_id").as("oid"), col("no")), Seq("oid"))
+        .join(wNew.select(col("doc_id").as("nid"), col("words").as("wn")), Seq("nid"))
+        .join(wOld.select(col("doc_id").as("oid"), col("words").as("wo")), Seq("oid"))
+        .withColumn("i", size(array_intersect(col("wn"), col("wo"))).cast("long"))
         .filter(lit(19) * col("i") >= lit(9) * (col("nn") + col("no")))
       val agg = conf.groupBy("nid")
         .agg(count(lit(1)).as("n_matches"), min("oid").as("keeper"))
