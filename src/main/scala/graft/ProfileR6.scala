@@ -40,6 +40,70 @@ object ProfileR6 {
     val spark = Bench.session(cpus)
     import spark.implicits._
 
+    // ---- headline floor: cached-input scan + expression costs -------------
+    if (which("headline")) {
+      val preParts = spark.sparkContext.defaultParallelism * 2
+      val img = sources.ImageTable.df(spark, sfDir, 200, preParts = preParts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      img.count()
+      t("hl: scan phash only")(img.select(col("phash")))
+      t("hl: scan lon/lat")(img.select(col("lon"), col("lat")))
+      t("hl: tile expr no agg")(img.select(operators.GeoQueries.tileCol.as("tile")))
+      t("hl: tile_assign full")(img.select(operators.GeoQueries.tileCol.as("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("n")))
+      t("hl: skewed cols")(sources.ImageTable.skewed(img).select(col("lon"), col("lat"), col("phash")))
+      t("hl: skew_agg full")({
+        val sk = sources.ImageTable.skewed(img)
+          .select(operators.GeoQueries.tileCol.as("tile"), col("phash"),
+            pmod(xxhash64(col("image_id")), lit(16)).as("salt"))
+        sk.groupBy("tile", "salt").agg(count(lit(1)).as("pc"), sum(col("phash") % 1000000).as("ps"))
+          .groupBy("tile").agg(sum("pc").as("cnt"), sum("ps").as("s"))
+      })
+      t("hl: pip mask full")(img
+        .select(operators.Pip.mask(col("lon"), col("lat"), operators.Pip.fixtureSet).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("n")))
+      t("hl: join_pricing")(operators.RelationalQueries.defs.find(_.name == "q_join_pricing").get
+        .fn(spark, sfDir))
+      t("hl: cosine_dup")(operators.EmbedQueries.defs.find(_.name == "e_cosine_dup").get
+        .fn(spark, sfDir))
+      t("hl: tile_pyramid")(operators.GeoQueries.tilePyramid(img))
+      t("hl: groupBy(fmt).count")(img.groupBy("fmt").count())
+      t("hl: groupBy(phash%1000).count")(img.groupBy((col("phash") % 1000).as("k")).count())
+      t("hl: tile agg rep2")(img.select(operators.GeoQueries.tileCol.as("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("n")))
+      t("hl: tile agg rep3")(img.select(operators.GeoQueries.tileCol.as("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("n")))
+      t("hl: lonlat agg")(img.select((col("lon") % 1000).as("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("n")))
+
+      t("hl: range agg")(spark.range(1000000L)
+        .groupBy((col("id") % 1000).as("k")).agg(count(lit(1))))
+      t("hl: cache phash agg1000")(img.groupBy((col("phash") % 1000).as("k")).agg(count(lit(1))))
+      val imgNoCache = sources.ImageTable.df(spark, sfDir, 200, preParts = preParts)
+      t("hl: nocache lon agg")(imgNoCache.select((col("lon") % 1000).as("k"))
+        .groupBy("k").agg(count(lit(1))))
+
+      // stage-level attribution of ONE tile_assign execution
+      val stages = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Int)]()
+      val lis = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          stages += ((si.stageId, si.name.take(40),
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+            si.taskMetrics.executorRunTime, si.numTasks))
+        }
+      }
+      spark.sparkContext.addSparkListener(lis)
+      val df = img.select(operators.GeoQueries.tileCol.as("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("n"))
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(1000)
+      stages.foreach { case (id, n, wall, run, nt) =>
+        println(f"[stage] $id%4d $n%-40s wall=${wall}ms taskRunSum=${run}ms tasks=$nt") }
+      spark.sparkContext.removeSparkListener(lis)
+    }
+
     // ---- kmeans_200k ------------------------------------------------------
     if (which("kmeans")) {
       val mult = 100
