@@ -856,8 +856,15 @@ object EmbedQueries {
       // hot-bucket cap (mirrored in the oracle): a degenerate bucket of
       // identical embeddings — common in crawl data — is quadratic within
       // the bucket; buckets above the cap are skipped and counted
-      // (cosineBucketStats; 0 dropped on this corpus, max size 31)
-      val bc = DocQueries.cappedBuckets(bands, "bkey", BandBucketCap)
+      // (cosineBucketStats; 0 dropped on this corpus, max size 31).
+      // Count-over-bucket WINDOW, not aggregate + semi-join (round 6):
+      // the candidate self-join below needs the band rows partitioned by
+      // bkey anyway, so the window's exchange is the join's exchange and
+      // both sides reuse one shuffle stage — the semi-join shape paid an
+      // extra aggregation exchange plus a broadcast build per side.
+      val wCap = org.apache.spark.sql.expressions.Window.partitionBy("bkey")
+      val bc = bands.withColumn("bn", count(lit(1)).over(wCap))
+        .filter(col("bn") <= BandBucketCap).drop("bn")
       val cand = bc.as("x").join(bc.as("y"),
           col("x.bkey") === col("y.bkey") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
