@@ -31,6 +31,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Sort shuffle writer everywhere: the bypass-merge writer opens one file
+  // per reduce partition per map task, and at local shuffle widths (32)
+  // filesystem latency dominated every small shuffle (A/B: a 1M-row
+  // groupBy 0.38 s -> 0.17 s). Clusters with wide shuffles (> 200 reduce
+  // partitions) never used the bypass writer, so this only changes the
+  // small-shuffle regime.
   "-Dspark.shuffle.sort.bypassMergeThreshold=1",
+  // local[N] default: shuffle blocks never cross a NIC (loopback + local
+  // disk), so lz4 framing is pure CPU overhead (A/B: minhash_lsh 1.32 ->
+  // 0.84 s, span_dup 1.56 -> 1.37 s, others flat). A network deployment
+  // sets SPARK_GRAFT_SHUFFLE_COMPRESS=true (and prefers zstd) — see
+  // OPTIMIZATION_r06.md.
+  s"-Dspark.shuffle.compress=${sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
