@@ -48,8 +48,14 @@ object Knn {
 
     val pts = points.select(col("id").as("pid"), col("lon").as("plon"), col("lat").as("plat"))
       .withColumn("pcx", cx(col("plon"))).withColumn("pcy", cy(col("plat")))
+    // the query side is tiny by construction but DERIVING it scans the
+    // full point cloud; it is referenced from three subplans (probe
+    // broadcast build, certified anti side, brute tail), each of which
+    // would re-scan — pin the k-row-scale frame once (round 6; callers
+    // free it via Caching.freeLocalCheckpoints, as with the pass-1 pin)
     val qs = queries.select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
       .withColumn("qcx", cx(col("qlon"))).withColumn("qcy", cy(col("qlat")))
+      .localCheckpoint()
 
     val dist = (col("qlon").cast("double") - col("plon")) * (col("qlon").cast("double") - col("plon")) +
       (col("qlat").cast("double") - col("plat")) * (col("qlat").cast("double") - col("plat"))
