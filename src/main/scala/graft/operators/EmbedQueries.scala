@@ -167,13 +167,16 @@ object EmbedQueries {
     }
     for (_ <- 1 to iters) {
       val asg = assign(cent).select(col("vec_id"), col("v"), col("j"))
-      // the round's update is pinned BEFORE it is referenced twice below
-      // (union + anti-join): without the pin the broadcast build and the
-      // union branch would each run a full corpus pass
-      val upd = asg.select(col("j"), posexplode(col("v")).as(Seq("d", "qv")))
-        .groupBy("j", "d").agg(expr("sum(qv) div count(1)").as("cv"))
-        .groupBy("j").agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
-          x => x.getField("cv")).as("c"))
+      // centroid update via the native VecSum aggregate: one dim-long
+      // buffer per cluster per partition, map-side combined — the former
+      // posexplode + groupBy(j, d) generated n*dim rows per pass to sum
+      // them straight back down. `sums[d] div cnt` is the identical
+      // truncating integer division on identical sums (Long addition is
+      // order-free). The round's update is pinned BEFORE it is referenced
+      // twice below (union + anti-join): without the pin the broadcast
+      // build and the union branch would each run a full corpus pass.
+      val upd = asg.groupBy("j").agg(graft.plans.VecSum(col("v"), Dim).as("vs"))
+        .select(col("j"), expr("transform(vs.sums, s -> s div vs.cnt)").as("c"))
         .localCheckpoint()
       // empty clusters keep their previous centroid; both frames are k rows,
       // so the anti-join is hint-broadcast (SMJ on a k-row frame is waste)
