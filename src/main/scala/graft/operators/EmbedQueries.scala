@@ -391,14 +391,22 @@ object EmbedQueries {
     * variants (vec_id' = id*mult + rep, dim rep%64 nudged by rep%7-3). */
   private def scaledCorpus(s: SparkSession, dir: String, mult: Int): DataFrame =
     // embeddings.parquet is one input split: spread the base BEFORE the
-    // mult-explode so the per-row transform + downstream map-side work
-    // (bucket bits, norms) parallelize instead of running in one task
+    // mult-explode so the per-row work + downstream map-side work
+    // (bucket bits, norms) parallelize instead of running in one task.
+    // The single-dimension perturbation is expressed with slice/concat
+    // (codegen collection expressions) instead of a transform() lambda:
+    // higher-order functions are CodegenFallback and re-interpreted the
+    // 64-element rewrite per replicated row — identical arrays either way
+    // (only element rep%64 changes, by rep%7-3).
     emb(s, dir).select(col("vec_id"), expr(quantExpr).as("v"))
       .repartition(32)
       .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
       .select(
         (col("vec_id") * mult + col("rep")).as("vec_id"),
-        expr("transform(v, (x, i) -> CASE WHEN i = CAST(rep % 64 AS INT) THEN x + rep % 7 - 3 ELSE x END)").as("v"))
+        expr(s"""concat(
+          slice(v, 1, CAST(rep % $Dim AS INT)),
+          array(element_at(v, CAST(rep % $Dim AS INT) + 1) + rep % 7 - 3),
+          slice(v, CAST(rep % $Dim AS INT) + 2, $Dim - 1 - CAST(rep % $Dim AS INT)))""").as("v"))
 
   def annTopkScaled(s: SparkSession, dir: String, mult: Int): DataFrame = {
     // scale-derived bucket width over the REPLICATED corpus size (the count
