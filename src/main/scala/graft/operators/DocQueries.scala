@@ -108,9 +108,15 @@ object DocQueries {
     val spread =
       if (docsFrame.rdd.getNumPartitions < para) docsFrame.repartition(para)
       else docsFrame
+    // the zero-word guard is an rlike on the RAW text, not size(ws) > 0:
+    // a size() filter over the derived column gets pushed below the
+    // projection and re-evaluates the full regexp_extract_all per row in
+    // the Filter (observed in the executed plan); `text RLIKE '\S'` is the
+    // same predicate (>= 1 maximal non-space run exists iff any non-space
+    // char exists) as a first-match scan that pushes to the source scan
     val withWs = spread
+      .filter(col("text").rlike("\\S"))
       .withColumn("ws", expr(wordsExpr))
-      .filter(size(col("ws")) > 0)
       .withColumn("words", array_distinct(col("ws")))
       .withColumn("n", size(col("words")).cast("long"))
     val wsets = maybePin(withWs.select(col("doc_id"), col("n"), col("words")))
@@ -442,8 +448,12 @@ object DocQueries {
     // 10^6 grams). xxhash64 is a native codegen hash an order of magnitude
     // cheaper per gram than md5 + hex conv, and hashing the pre-hashed
     // slice avoids re-building + re-scanning the ~50-byte gram string.
-    val w8 = d.select(col("doc_id"), expr(wordsExpr).as("ws"))
-      .filter(size(col("ws")) >= 8)
+    // >= 8 tokens as an rlike on the RAW text (8 non-space runs separated
+    // by whitespace — \S+ and \s+ are disjoint classes, so the match is
+    // deterministic and linear): a size(ws) filter is pushed below the
+    // projection and re-runs the full token extraction per row
+    val w8 = d.filter(col("text").rlike("\\S+(\\s+\\S+){7}"))
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
     // the gram frame is PINNED: three consumers below (the dup-hash
     // aggregate, the semi-join probe side, and the per-doc gram counts)
     // would otherwise each re-run the tokenize+explode+hash pipeline —
