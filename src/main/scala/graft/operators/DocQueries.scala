@@ -229,7 +229,15 @@ object DocQueries {
   /** Connected-component labels (id -> min id of its component) over a
     * bidirectional (src, dst) edge frame. Scale-adaptive: single-task
     * union-find under `localCap` edges, distributed HashMin + pointer-jump
-    * above it. */
+    * above it.
+    *
+    * CALLER-MUST-FREE contract: the returned frame is pinned by a
+    * localCheckpoint (as are dupLabels' word/band pins until it frees
+    * them). Callers that loop — the bench does, via
+    * Caching.freeLocalCheckpoints on the consumed frame — must release
+    * it; a one-shot caller (Verify's per-query dump) leaks one small
+    * labeled frame per invocation until GC + ContextCleaner reclaim it,
+    * which is bounded and acceptable there. */
   private[graft] def ccLabels(s: SparkSession, edges0: DataFrame, localCap: Long): DataFrame = {
     import s.implicits._
     val edges = edges0.localCheckpoint()

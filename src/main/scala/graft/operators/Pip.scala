@@ -171,7 +171,11 @@ object PipKernels {
       val y1 = ys.getInt(i).toLong
       val x2 = xs.getInt(i + 1).toLong
       val y2 = ys.getInt(i + 1).toLong
-      // crossing iff (y1<=lat) == (lat<y2); Java truncating long division
+      // crossing iff (y1<=lat) == (lat<y2); Java truncating long division.
+      // Overflow headroom: coordinates live in the pinned planar domain
+      // (|lon| <= 1.8e9, |lat| <= 0.9e9), so (x2-x1)*(lat-y1) reaches at
+      // most ~3.6e9 * 1.8e9 = 6.5e18 of the 9.2e18 Long max — reuse on a
+      // wider coordinate domain would silently wrap; keep the domain.
       if (y1 != y2 && ((y1 <= lat) == (lat < y2)) &&
           x1 + (x2 - x1) * (lat - y1) / (y2 - y1) < lon)
         inside = !inside
