@@ -69,10 +69,15 @@ object GeoQueries {
     // The cell key packs to ONE long (cx << 32 ^ low32(cy)) — collision-
     // free for |cy| < 2^31, which lat div r guarantees for any r >= 1 —
     // halving the join-key bytes vs the two-column key.
+    // payload coordinates ride the exchange as INT32 (the pinned planar
+    // domain fits: |lon| <= 1.8e9, |lat| <= 0.9e9 — same assumption the
+    // PIP kernel documents); only the cell computation and the exact
+    // refine widen to long. With shuffle compression off, narrower
+    // columns are bytes saved one-for-one (guide: narrower types).
     val pts = img.select(col("image_id"),
-      col("lon").cast("long").as("lon"), col("lat").cast("long").as("lat"))
-      .withColumn("cx", expr(s"lon div ${r}L"))
-      .withColumn("cy", expr(s"lat div ${r}L"))
+      col("lon").cast("int").as("lon"), col("lat").cast("int").as("lat"))
+      .withColumn("cx", expr(s"cast(lon as long) div ${r}L"))
+      .withColumn("cy", expr(s"cast(lat as long) div ${r}L"))
     def key(cxE: String, cyE: String) =
       expr(s"shiftleft($cxE, 32) ^ (($cyE) & 4294967295)")
     val build = pts.select(col("image_id").as("id_b"),
@@ -87,8 +92,9 @@ object GeoQueries {
       .select(col("image_id").as("id_a"), col("lon").as("lon_a"), col("lat").as("lat_a"),
         key("cx + o.ox", "cy + o.oy").as("ck"),
         (col("o.ox") === 0L && col("o.oy") === 0L).as("same"))
-    val d2 = (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")) +
-      (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b"))
+    def dl(c: String) = col(c).cast("long")
+    val d2 = (dl("lon_a") - dl("lon_b")) * (dl("lon_a") - dl("lon_b")) +
+      (dl("lat_a") - dl("lat_b")) * (dl("lat_a") - dl("lat_b"))
     probe.join(build, Seq("ck"))
       // same-cell pairs dedupe by id order; cross-cell pairs are unique by
       // construction but equal-id pairs (duplicate input ids) still drop,
