@@ -837,14 +837,17 @@ object DocQueries {
     // appears verbatim in at least one OTHER document. Per doc: total gram
     // positions, duplicated positions, and the longest maximal duplicated
     // span in tokens (consecutive dup positions merged gaps-and-islands
-    // style: run-group key = position - row_number within the doc).
-    // Shape for 100 TB: the gram explode is map-side (~L rows per doc), the
-    // duplicate test is one groupBy on the 60-bit gram hash (a hot gram is
-    // ONE row after the agg) plus a semi-join back, and the islands window
-    // partitions by doc_id — parallel everywhere, no driver state. Both
-    // engines key on the same md5-based hash, so collisions (if any) agree.
-    // Oracle-side `range(1, 256)` is the replay device for the lateral
-    // positions (corpus max is 100 tokens), not an engine capacity.
+    // style — see spanDup for the round-6 sorted-array formulation).
+    // Shape for 100 TB: the gram explode is map-side (~L rows per doc),
+    // the duplicate test is one groupBy on the gram hash (a hot gram is
+    // ONE row after the agg) plus a scale-adaptive semi-join back, and
+    // the islands aggregation partitions by doc_id — parallel everywhere,
+    // no driver state. The engine keys on composed xxhash64, the oracle
+    // on its md5 h60 — both collision-free on the gram set, so the dup
+    // STRUCTURE (the only thing the hash feeds) agrees; the gate verifies
+    // that at every scale. Oracle-side `range(1, 256)` is the replay
+    // device for the lateral positions (corpus max is 100 tokens), not an
+    // engine capacity.
     QueryDef.sql("d_span_dup", {
       val gh = PortableHash.duckSql("array_to_string(ws[i:i+7], ' ')")
       s"""WITH w8 AS (SELECT doc_id, $duckWords AS ws,
